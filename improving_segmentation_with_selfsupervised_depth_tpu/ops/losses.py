@@ -1,0 +1,87 @@
+"""Scalar losses: masked cross-entropy, berHu, pixelwise entropy.
+
+NHWC logits. Matches reference loss/loss.py numerics (ignore_index=250,
+pixel-weight path, adaptive berHu threshold).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .resize import resize_bilinear
+
+IGNORE_INDEX = 250
+
+
+def cross_entropy2d(
+    logits: jnp.ndarray,
+    target: jnp.ndarray,
+    class_weight: jnp.ndarray | None = None,
+    pixel_weights: jnp.ndarray | None = None,
+    ignore_index: int = IGNORE_INDEX,
+) -> jnp.ndarray:
+    """CE over (N, H, W, C) logits vs (N, Ht, Wt) int labels.
+
+    If spatial sizes differ, logits are bilinearly upsampled with
+    align_corners=True (reference loss/loss.py:22-23).
+    - without pixel_weights: mean over non-ignored pixels (torch F.cross_entropy
+      'mean' with ignore_index).
+    - with pixel_weights: per-pixel weighted loss, mean over ALL pixels
+      (reference loss/loss.py:30-36).
+    """
+    n, h, w, c = logits.shape
+    nt, ht, wt = target.shape
+    if h != ht and w != wt:
+        logits = resize_bilinear(logits, (ht, wt), align_corners=True)
+
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    valid = target != ignore_index
+    tgt = jnp.where(valid, target, 0).astype(jnp.int32)
+    if class_weight is not None:
+        logp = logp * class_weight.reshape(1, 1, 1, -1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    if pixel_weights is None:
+        denom = jnp.maximum(jnp.sum(valid), 1)
+        if class_weight is not None:
+            # torch normalizes by the sum of per-target class weights
+            wsum = jnp.sum(jnp.where(valid, jnp.take(class_weight, tgt), 0.0))
+            denom = jnp.maximum(wsum, 1e-12)
+        return jnp.sum(nll) / denom
+    nll = jax.lax.stop_gradient(pixel_weights) * nll
+    return jnp.mean(nll)
+
+
+def berhu(
+    pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray, apply_log: bool = False
+) -> jnp.ndarray:
+    """Reverse-Huber depth loss with adaptive threshold C = 0.2 * max(|err|).
+
+    Reference loss/loss.py:5-15 (C computed via `.item()` there, i.e. treated
+    as a constant — mirrored with stop_gradient).
+    """
+    if apply_log:
+        pred = jnp.log1p(pred)
+        target = jnp.log1p(target)
+    absdiff = jnp.abs(target - pred) * mask
+    c = 0.2 * jax.lax.stop_gradient(jnp.max(absdiff))
+    c = jnp.maximum(c, 1e-12)
+    return jnp.mean(jnp.where(absdiff <= c, absdiff, (absdiff * absdiff + c * c) / (2.0 * c)))
+
+
+def pixel_wise_entropy(logits: jnp.ndarray, normalize: bool = False) -> jnp.ndarray:
+    """Normalized softmax entropy per pixel: (N, H, W, C) -> (N, H, W).
+
+    Reference loss/loss.py:40-47.
+    """
+    assert logits.ndim == 4
+    p = jax.nn.softmax(logits, axis=-1)
+    c = logits.shape[-1]
+    ent = -jnp.sum(p * jnp.log2(p + 1e-30), axis=-1) / math.log2(c)
+    if normalize:
+        ent = (ent - jnp.min(ent)) / (jnp.max(ent) - jnp.min(ent))
+    return ent

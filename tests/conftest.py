@@ -1,0 +1,12 @@
+"""Test configuration: force CPU with 8 virtual devices so multi-chip sharding
+paths are exercised without TPU hardware."""
+
+import os
+
+# Hard override: the environment pins JAX_PLATFORMS=axon (remote TPU tunnel);
+# unit tests must run on local CPU with 8 virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
