@@ -1,0 +1,86 @@
+"""Monodepth U-Net decoder (Flax linen, NHWC).
+
+Re-design of reference models/depth_decoder.py:22-116:
+- 5 decoder stages i = n_upconv..0, each: upconv0 (ConvBlock, or ASPP at the
+  bottleneck stage when `intermediate_aspp`) -> nearest x2 upsample *only when
+  the skip is spatially larger* (static-shape check — with a dilated encoder
+  stages 4/3 share stride) -> concat with (optionally 1x1-projected) skip ->
+  upconv1.
+- sigmoid `dispconv` heads at `scales` (when `enable_disparity`).
+- partial execution via a static `exec_layer` tuple and bottleneck injection
+  `x=` (used by the PAD multi-task decoder to splice attention between the two
+  halves, reference joint_segmentation_depth_decoder.py:138-164).
+
+Outputs dict: "upconv_{i}" per executed stage, "disp_{s}" per scale head.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import upsample2x_nearest
+from .layers import ASPP, Conv3x3, ConvBlock, ConvBNReLU
+
+
+class DepthDecoder(nn.Module):
+    num_ch_enc: Sequence[int]
+    scales: Sequence[int] = (0, 1, 2, 3)
+    num_output_channels: int = 1
+    use_skips: bool = True
+    intermediate_aspp: bool = False
+    aspp_rates: Sequence[int] = (6, 12, 18)
+    num_ch_dec: Sequence[int] = (16, 32, 64, 128, 256)
+    n_upconv: int = 4
+    batch_norm: bool = False
+    dropout: float = 0.0
+    n_project_skip_ch: int = -1
+    aspp_pooling: bool = True
+    enable_disparity: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_features: Sequence[jnp.ndarray],
+        x: Optional[jnp.ndarray] = None,
+        exec_layer: Optional[Tuple[int, ...]] = None,
+        *,
+        train: bool = False,
+    ):
+        outputs = {}
+        if x is None:
+            x = input_features[-1]
+        layers = tuple(range(self.n_upconv, -1, -1)) if exec_layer is None else tuple(exec_layer)
+
+        for i in range(self.n_upconv, -1, -1):
+            if i not in layers:
+                continue
+            # upconv0
+            if i == self.n_upconv and self.intermediate_aspp:
+                x = ASPP(self.aspp_rates, self.aspp_pooling, self.num_ch_dec[i],
+                         dtype=self.dtype, name=f"upconv_{i}_0")(x, train=train)
+            else:
+                x = ConvBlock(self.num_ch_dec[i], bn=self.batch_norm, dropout=self.dropout,
+                              dtype=self.dtype, name=f"upconv_{i}_0")(x, train=train)
+            # upsample only when spatially needed (static shapes)
+            if i == 0 or x.shape[2] < input_features[i - 1].shape[2]:
+                x = upsample2x_nearest(x)
+            cat = [x]
+            if self.use_skips and i > 0:
+                skip = input_features[i - 1]
+                if self.n_project_skip_ch != -1:
+                    skip = ConvBNReLU(self.n_project_skip_ch, 1, dtype=self.dtype,
+                                      name=f"skip_proj_{i}")(skip, train=train)
+                cat.append(skip)
+            x = jnp.concatenate(cat, axis=-1)
+            x = ConvBlock(self.num_ch_dec[i], bn=self.batch_norm, dropout=self.dropout,
+                          dtype=self.dtype, name=f"upconv_{i}_1")(x, train=train)
+            outputs[f"upconv_{i}"] = x
+            if i in self.scales and self.enable_disparity:
+                disp = Conv3x3(self.num_output_channels, dtype=self.dtype,
+                               name=f"dispconv_{i}")(x)
+                outputs[f"disp_{i}"] = nn.sigmoid(disp.astype(jnp.float32))
+        return outputs

@@ -1,0 +1,155 @@
+"""Segmentation decoders built on SDE features (Flax linen, NHWC).
+
+- `JointSegDepthDecoder` — transfer-learning decoder (reference
+  models/joint_segmentation_depth_decoder.py:11-75): runs a full DepthDecoder
+  U-Net, 1x1-projects a chosen set of pyramid layers (0-4 encoder / 5-9
+  decoder), bilinearly resizes them to `last_layer_size = full//output_stride`,
+  concats, applies a conv-bn-relu-dropout head + 1x1 classifier, and upsamples
+  logits to full resolution.
+- `PAD` — privileged-attention multi-task decoder (reference
+  joint_segmentation_depth_decoder.py:78-184): two DepthDecoders (depth + seg
+  branches), split at `distillation_layer`; zero-initialized self-attention
+  cross-distillation between the halves; final + optional intermediate 1x1 seg
+  heads.
+
+Layer indexing follows the reference `_get_layer` (models/utils.py:100-105):
+layer l <= 4 -> encoder feature l; l in 5..9 -> decoder output upconv_{9-l}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import resize_bilinear
+from .depth_decoder import DepthDecoder
+from .layers import ConvBNReLU, SelfAttention, kaiming_out
+
+
+def _get_layer(encoder_features, decoder_outputs, layer: int):
+    if layer <= 4:
+        return encoder_features[layer]
+    return decoder_outputs[f"upconv_{9 - layer}"]
+
+
+class JointSegDepthDecoder(nn.Module):
+    num_ch_enc: Sequence[int]
+    num_classes: int
+    layers: Sequence[int] = (9,)
+    head_inter_channels: int = 64
+    head_dropout: float = 0.1
+    layer_dropout: float = 0.0
+    output_stride: int = 1
+    layer_out_channels: int = 64
+    head_inter: bool = True
+    depth_args: Optional[Dict[str, Any]] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, encoder_features, *, train: bool = False):
+        depth_args = dict(self.depth_args or {})
+        unet = DepthDecoder(num_ch_enc=tuple(self.num_ch_enc), dtype=self.dtype,
+                            name="unet_dec", **depth_args)
+        seg_features = unet(encoder_features, train=train)
+
+        seg_size = _get_layer(encoder_features, seg_features, 9).shape[1:3]
+        last_size = (seg_size[0] // self.output_stride, seg_size[1] // self.output_stride)
+
+        stacked = []
+        for layer in self.layers:
+            proj = nn.Conv(self.layer_out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                           kernel_init=kaiming_out, name=f"project_seg{layer}")(
+                _get_layer(encoder_features, seg_features, layer)
+            )
+            stacked.append(resize_bilinear(proj, last_size, align_corners=False))
+        x = jnp.concatenate(stacked, axis=-1)
+
+        if self.layer_dropout > 0:
+            x = nn.Dropout(self.layer_dropout, deterministic=not train)(x)
+        if self.head_inter:
+            x = nn.Conv(self.head_inter_channels, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, kernel_init=kaiming_out, name="head_conv")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype, name="head_bn")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.head_dropout, deterministic=not train)(x)
+        score = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                        kernel_init=kaiming_out, name="classifier")(x)
+        if last_size != tuple(seg_size):
+            score = resize_bilinear(score, seg_size, align_corners=False)
+        return score.astype(jnp.float32)
+
+
+class PAD(nn.Module):
+    num_ch_enc: Sequence[int]
+    num_classes: int
+    final_layer: int = 9
+    output_stride: int = 1
+    distillation_layer: int = 7
+    side_output: bool = True
+    depth_args: Optional[Dict[str, Any]] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, encoder_features, *, train: bool = False):
+        depth_args = dict(self.depth_args or {})
+        num_ch_dec = tuple(depth_args.get("num_ch_dec", (16, 32, 64, 128, 256)))
+        n_upconv = depth_args.get("n_upconv", 4)
+        num_scales = 4
+
+        def layer_channels(layer: int) -> int:
+            return self.num_ch_enc[layer] if layer <= 4 else num_ch_dec[9 - layer]
+
+        depth_dec = DepthDecoder(num_ch_enc=tuple(self.num_ch_enc), scales=tuple(range(num_scales)),
+                                 dtype=self.dtype, name="depth_dec", **depth_args)
+        seg_dec = DepthDecoder(num_ch_enc=tuple(self.num_ch_enc), scales=tuple(range(num_scales)),
+                               enable_disparity=False, dtype=self.dtype, name="seg_dec",
+                               **depth_args)
+
+        dec_distill_i = 9 - self.distillation_layer
+        inter_key = f"upconv_{dec_distill_i}"
+        first_half = tuple(range(n_upconv, dec_distill_i - 1, -1))
+        second_half = tuple(range(dec_distill_i - 1, -1, -1))
+
+        depth_features = depth_dec(encoder_features, exec_layer=first_half, train=train)
+        seg_features = seg_dec(encoder_features, exec_layer=first_half, train=train)
+
+        intermediate_seg = None
+        if self.side_output:
+            intermediate_seg = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                                       kernel_init=kaiming_out, name="seg_intermediate_head")(
+                seg_features[inter_key]
+            ).astype(jnp.float32)
+
+        distill_ch = layer_channels(self.distillation_layer)
+        sa_depth = SelfAttention(distill_ch, dtype=self.dtype, name="sa_depth")(
+            depth_features[inter_key])
+        sa_seg = SelfAttention(distill_ch, dtype=self.dtype, name="sa_seg")(
+            seg_features[inter_key])
+
+        merged_for_seg = seg_features[inter_key] + sa_depth
+        merged_for_depth = depth_features[inter_key] + sa_seg
+
+        depth_features.update(
+            depth_dec(encoder_features, x=merged_for_depth, exec_layer=second_half, train=train))
+        seg_features = seg_dec(encoder_features, x=merged_for_seg, exec_layer=second_half,
+                               train=train)
+        final_seg = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                            kernel_init=kaiming_out, name="seg_final_head")(
+            _get_layer(None, seg_features, self.final_layer)
+        ).astype(jnp.float32)
+
+        seg_size = encoder_features[0].shape[1:3]
+        last_size = (seg_size[0] // self.output_stride, seg_size[1] // self.output_stride)
+        if self.side_output and last_size != tuple(seg_size):
+            intermediate_seg = resize_bilinear(intermediate_seg, seg_size, align_corners=False)
+        if last_size != tuple(seg_size):
+            final_seg = resize_bilinear(final_seg, seg_size, align_corners=False)
+
+        out = dict(depth_features)
+        out["semantics"] = final_seg
+        if self.side_output:
+            out["intermediate_semantics"] = intermediate_seg
+        return out

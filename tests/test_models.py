@@ -1,0 +1,165 @@
+"""Model library tests: pyramid shapes, dilation, decoder contract, PAD split."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from improving_segmentation_with_selfsupervised_depth_tpu.models import (
+    DepthDecoder,
+    JointSegDepthDecoder,
+    PAD,
+    PoseDecoder,
+    ResNetEncoder,
+    build_model,
+)
+from improving_segmentation_with_selfsupervised_depth_tpu.models.resnet import num_ch_enc
+from improving_segmentation_with_selfsupervised_depth_tpu.ops.photometric import key_of
+
+
+def test_resnet18_pyramid_shapes():
+    m = ResNetEncoder(depth=18)
+    x = jnp.zeros((1, 64, 96, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(params, x)
+    shapes = [f.shape for f in feats]
+    assert shapes == [(1, 32, 48, 64), (1, 16, 24, 64), (1, 8, 12, 128), (1, 4, 6, 256), (1, 2, 3, 512)]
+
+
+def test_resnet50_dilated_shapes():
+    m = ResNetEncoder(depth=50, replace_stride_with_dilation=(False, False, True))
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(params, x)
+    assert [f.shape[-1] for f in feats] == list(num_ch_enc(50))
+    # layer3 and layer4 share stride 16 under dilation
+    assert feats[3].shape[1:3] == feats[4].shape[1:3] == (4, 4)
+
+
+def test_pose_encoder_multi_image():
+    m = ResNetEncoder(depth=18, num_input_images=2)
+    x = jnp.zeros((2, 32, 32, 6))
+    params = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(params, x)
+    assert feats[-1].shape == (2, 1, 1, 512)
+
+
+@pytest.fixture(scope="module")
+def enc18_feats():
+    m = ResNetEncoder(depth=18)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 96, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    return m.apply(params, x)
+
+
+def test_depth_decoder_scales_and_range(enc18_feats):
+    dec = DepthDecoder(num_ch_enc=num_ch_enc(18), intermediate_aspp=True, aspp_rates=(1, 2))
+    params = dec.init(jax.random.PRNGKey(0), enc18_feats)
+    out = dec.apply(params, enc18_feats)
+    for s in range(4):
+        d = out[f"disp_{s}"]
+        assert d.shape == (2, 64 // 2**s, 96 // 2**s, 1)
+        assert float(d.min()) >= 0.0 and float(d.max()) <= 1.0
+    assert "upconv_0" in out and out["upconv_0"].shape == (2, 64, 96, 16)
+
+
+def test_depth_decoder_exec_layer_split_matches_full(enc18_feats):
+    """PAD's split execution must be numerically identical to a full pass."""
+    dec = DepthDecoder(num_ch_enc=num_ch_enc(18))
+    params = dec.init(jax.random.PRNGKey(0), enc18_feats)
+    full = dec.apply(params, enc18_feats)
+    first = dec.apply(params, enc18_feats, exec_layer=(4, 3, 2))
+    second = dec.apply(params, enc18_feats, x=first["upconv_2"], exec_layer=(1, 0))
+    np.testing.assert_allclose(
+        np.asarray(second["disp_0"]), np.asarray(full["disp_0"]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pose_decoder_scale(enc18_feats):
+    dec = PoseDecoder()
+    params = dec.init(jax.random.PRNGKey(0), [enc18_feats])
+    aa, tr = dec.apply(params, [enc18_feats])
+    assert aa.shape == (2, 2, 1, 3) and tr.shape == (2, 2, 1, 3)
+    assert float(jnp.abs(aa).max()) < 1.0  # 0.01-scaled head
+
+
+def test_joint_seg_depth_decoder_logits(enc18_feats):
+    dec = JointSegDepthDecoder(num_ch_enc=num_ch_enc(18), num_classes=19, layers=(2, 9))
+    params = dec.init(jax.random.PRNGKey(0), enc18_feats)
+    logits = dec.apply(params, enc18_feats)
+    assert logits.shape == (2, 64, 96, 19)
+    assert logits.dtype == jnp.float32
+
+
+def test_pad_outputs(enc18_feats):
+    dec = PAD(num_ch_enc=num_ch_enc(18), num_classes=19)
+    params = dec.init(jax.random.PRNGKey(0), enc18_feats)
+    out = dec.apply(params, enc18_feats)
+    # final head on upconv_0 (full res); intermediate head on upconv_2
+    # (stride 4), no resize when output_stride == 1 (reference
+    # joint_segmentation_depth_decoder.py:167-174)
+    assert out["semantics"].shape == (2, 64, 96, 19)
+    assert out["intermediate_semantics"].shape == (2, 16, 24, 19)
+    for s in range(4):
+        assert f"disp_{s}" in out
+
+
+def test_pad_attention_zero_init_makes_split_equal_plain(enc18_feats):
+    """At init the distillation gates are zero -> sigmoid=0.5 scales features;
+    just assert forward determinism and finite outputs."""
+    dec = PAD(num_ch_enc=num_ch_enc(18), num_classes=5)
+    params = dec.init(jax.random.PRNGKey(0), enc18_feats)
+    out1 = dec.apply(params, enc18_feats)
+    out2 = dec.apply(params, enc18_feats)
+    np.testing.assert_array_equal(np.asarray(out1["semantics"]), np.asarray(out2["semantics"]))
+    assert np.isfinite(np.asarray(out1["semantics"])).all()
+
+
+def _tiny_batch(n=2, h=64, w=96, frames=(0, -1, 1)):
+    rng = np.random.default_rng(0)
+    batch = {}
+    for f in frames:
+        batch[key_of("color_aug", f, 0)] = jnp.asarray(
+            rng.uniform(0, 1, (n, h, w, 3)).astype(np.float32))
+        batch[key_of("color", f, 0)] = batch[key_of("color_aug", f, 0)]
+    return batch
+
+
+def test_joint_model_forward_keys():
+    cfg = {
+        "arch": "joint_segmentation_depth",
+        "backbone_name": "resnet18",
+        "segmentation_name": "joint_seg_depth_dec",
+        "segmentation_args": {"layers": [9]},
+        "depth_args": {},
+        "frame_ids": [0, -1, 1],
+    }
+    model = build_model(cfg, n_classes=19)
+    batch = _tiny_batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(params, batch)
+    for k in ["bottleneck", "semantics", "disp_0", "cam_T_cam_0_-1", "cam_T_cam_0_1"]:
+        assert k in out, sorted(out.keys())
+    assert out["semantics"].shape == (2, 64, 96, 19)
+    assert out["cam_T_cam_0_1"].shape == (2, 4, 4)
+    # param tree has reference-compatible submodule keys
+    top = set(params["params"].keys())
+    assert {"encoder", "depth", "segmentation", "pose_encoder", "pose"} <= top
+
+
+def test_joint_model_mtl_pad_and_imnet():
+    cfg = {
+        "backbone_name": "resnet18",
+        "segmentation_name": "mtl_pad",
+        "segmentation_args": {},
+        "depth_args": {},
+        "frame_ids": [0, -1, 1],
+        "enable_imnet_encoder": True,
+    }
+    model = build_model(cfg, n_classes=11)
+    batch = _tiny_batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(params, batch)
+    assert "semantics" in out and "intermediate_semantics" in out
+    assert "imnet_features" in out and "encoder_features" in out
+    assert "mtl_decoder" in params["params"] and "imnet_encoder" in params["params"]
