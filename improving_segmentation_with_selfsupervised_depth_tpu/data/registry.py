@@ -1,0 +1,60 @@
+"""Dataset registry (reference loader/__init__.py:7-66).
+
+`get_loader(name)` maps dataset names to dataset classes;
+`build_loader(cfg, split, ...)` constructs them with split-specific arguments.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+
+def get_loader(name: str):
+    from .cityscapes import CityscapesDataset
+    from .camvid import CamvidDataset
+    from .mapillary import MapillaryVistasDataset
+    from .inference_data import InferenceDataset
+    from .synthetic_dataset import SyntheticDataset
+
+    return {
+        "cityscapes": CityscapesDataset,
+        "camvid": CamvidDataset,
+        "mapillary": MapillaryVistasDataset,
+        "inference": InferenceDataset,
+        "synthetic": SyntheticDataset,
+    }[name]
+
+
+def build_loader(cfg: Dict[str, Any], split: str, load_labels: bool = True,
+                 load_sequence: bool = True):
+    """Construct a dataset for `split` (reference loader/__init__.py:19-66).
+
+    cfg is the `data` section plus merged monodepth_options keys.
+    """
+    data_cls = get_loader(cfg["dataset"])
+    restrict_dict = None
+    if split == "train" and cfg.get("restrict_to_subset") is not None:
+        restrict_dict = cfg["restrict_to_subset"]
+
+    kwargs = dict(
+        root=cfg.get("path"),
+        split=split,
+        img_size=tuple(cfg.get("img_size", (512, 1024))),
+        frame_idxs=tuple(cfg.get("frame_ids", (0, -1, 1))) if load_sequence else (0,),
+        num_scales=cfg.get("num_scales", 4),
+        augmentations=(cfg.get("augmentations") if split == "train" else None),
+        crop_h=cfg.get("crop_h"),
+        crop_w=cfg.get("crop_w"),
+        load_labels=load_labels,
+        load_sequence=load_sequence,
+        restrict_dict=restrict_dict,
+        generated_depth_dir=cfg.get("generated_depth_dir"),
+        load_onehot=cfg.get("load_onehot", False),
+        n_classes=cfg.get("n_classes"),
+        dataset_seed=cfg.get("dataset_seed", 42),
+        only_sequences_with_segmentation=cfg.get(
+            "only_sequences_with_segmentation", split == "train"),
+    )
+    return data_cls(**{k: v for k, v in kwargs.items() if v is not None or k in
+                       ("root", "augmentations", "restrict_dict", "generated_depth_dir",
+                        "crop_h", "crop_w", "n_classes")})
