@@ -1,0 +1,175 @@
+"""Checkpoint / resume + transfer-learning component export.
+
+Counterpart of the reference's pickle checkpoints (train.py:360-410) and
+per-submodule .pth export for SDE transfer (train.py:377-390,
+models/utils.py:18-97):
+
+- full train state -> orbax (TPU-native, sharded-aware) under <dir>/state
+- best_model semantics: saved on new-best mIoU with {step, best_iou}
+- submodule export: depth/pose_encoder/pose[/encoder] as flax msgpack files
+  (`depth.msgpack` ...), re-ingested by `load_component_weights` for the
+  dec5 -> dec6 -> semi-supervised transfer chain
+- `load_torch_checkpoint` (torch_interop.py) converts the reference's
+  published PyTorch .pth files into these param trees for numerical parity
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from .state import TrainState
+
+
+def _tree_to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_resume(ckpt_dir: str, state: TrainState, best_iou: float) -> str:
+    """Save full training state (reference save_resume, train.py:360-375)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {
+        "step": np.asarray(state.step),
+        "params": _tree_to_numpy(state.params),
+        "batch_stats": _tree_to_numpy(state.batch_stats),
+        "opt_state": _tree_to_numpy(state.opt_state),
+        "lr_scale": np.asarray(state.lr_scale),
+    }
+    if state.ema_params is not None:
+        payload["ema_params"] = _tree_to_numpy(state.ema_params)
+    path = os.path.join(ckpt_dir, "best_model.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    with open(os.path.join(ckpt_dir, "best_model.json"), "w") as f:
+        json.dump({"step": int(state.step), "best_iou": float(best_iou)}, f)
+    return path
+
+
+def load_resume(ckpt_path: str, state: TrainState, load_model_only: bool = False):
+    """Restore state from `save_resume` output (reference train.py:392-410).
+
+    Returns (state, step, best_iou)."""
+    with open(ckpt_path, "rb") as f:
+        raw = f.read()
+    template = {
+        "step": np.asarray(state.step),
+        "params": _tree_to_numpy(state.params),
+        "batch_stats": _tree_to_numpy(state.batch_stats),
+        "opt_state": _tree_to_numpy(state.opt_state),
+        "lr_scale": np.asarray(state.lr_scale),
+    }
+    if state.ema_params is not None:
+        template["ema_params"] = _tree_to_numpy(state.ema_params)
+    payload = serialization.from_bytes(template, raw)
+
+    meta_path = os.path.join(os.path.dirname(ckpt_path), "best_model.json")
+    best_iou, step = -100.0, int(payload["step"])
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        best_iou = meta.get("best_iou", -100.0)
+        step = meta.get("step", step)
+
+    new_state = state.replace(params=payload["params"], batch_stats=payload["batch_stats"])
+    if not load_model_only:
+        new_state = new_state.replace(
+            opt_state=payload["opt_state"],
+            step=np.asarray(payload["step"]),
+            lr_scale=np.asarray(payload["lr_scale"]),
+        )
+        if state.ema_params is not None and "ema_params" in payload:
+            new_state = new_state.replace(ema_params=payload["ema_params"])
+    return new_state, step, best_iou
+
+
+_MONODEPTH_COMPONENTS = ("depth", "pose_encoder", "pose")
+
+
+def save_monodepth_models(
+    ckpt_dir: str,
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    include_encoder: bool = False,
+) -> None:
+    """Export SDE components for transfer (reference train.py:377-390)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    names = list(_MONODEPTH_COMPONENTS) + (["encoder"] if include_encoder else [])
+    for name in names:
+        if name not in params:
+            continue
+        payload = {"params": _tree_to_numpy(params[name])}
+        if batch_stats and name in batch_stats:
+            payload["batch_stats"] = _tree_to_numpy(batch_stats[name])
+        with open(os.path.join(ckpt_dir, f"{name}.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(payload))
+
+
+def load_component_weights(
+    path: str, params: Dict[str, Any], batch_stats: Dict[str, Any], name: str
+):
+    """Load one exported component into fresh param/batch-stat trees
+    (reference models/utils.py:34-42, 64-72, 87-95). Returns updated trees."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    template = {"params": _tree_to_numpy(params[name])}
+    if batch_stats and name in batch_stats:
+        template["batch_stats"] = _tree_to_numpy(batch_stats[name])
+    payload = serialization.from_bytes(template, raw)
+    new_params = dict(params)
+    new_params[name] = payload["params"]
+    new_bs = dict(batch_stats) if batch_stats else {}
+    if "batch_stats" in payload and batch_stats and name in batch_stats:
+        new_bs[name] = payload["batch_stats"]
+    return new_params, new_bs
+
+
+def apply_pretraining(
+    model_cfg: Dict[str, Any],
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    download_model_dir: Optional[str] = None,
+):
+    """Resolve backbone/depth/pose pretraining names into loaded weights
+    (reference models/utils.py:18-97 + gdrive registry 108-172).
+
+    Names containing 'mono' refer to exported SDE checkpoints under
+    `download_model_dir/<name>/{encoder,depth,pose_encoder,pose}.msgpack`
+    (our export format) or PyTorch .pth files from the reference's registry
+    (converted via torch_interop). 'imnet' requires converted torchvision
+    weights at `download_model_dir/imnet/<backbone>.msgpack` (zero-egress
+    environments can't download them on the fly).
+    """
+    from .torch_interop import maybe_load_torch_component
+
+    def comp_path(pretrain_name, comp):
+        base = os.path.join(download_model_dir or ".", pretrain_name)
+        return os.path.join(base, f"{comp}.msgpack"), os.path.join(base, f"{comp}.pth")
+
+    for cfg_key, comps in (
+        ("backbone_pretraining", ["encoder"]),
+        ("depth_pretraining", ["depth"]),
+        ("pose_pretraining", ["pose_encoder", "pose"]),
+    ):
+        name = model_cfg.get(cfg_key)
+        if not name or name in ("none", "imnet"):
+            continue
+        if "mono" not in name:
+            raise NotImplementedError(f"{cfg_key}={name}")
+        for comp in comps:
+            if comp not in params:
+                continue
+            mp, tp = comp_path(name, comp)
+            if os.path.exists(mp):
+                params, batch_stats = load_component_weights(mp, params, batch_stats, comp)
+            elif os.path.exists(tp):
+                params, batch_stats = maybe_load_torch_component(
+                    tp, params, batch_stats, comp)
+            else:
+                raise FileNotFoundError(
+                    f"Pretrained component {comp} for {name} not found at {mp} or {tp}")
+    return params, batch_stats
