@@ -26,10 +26,14 @@ def get_loader(name: str):
 
 
 def build_loader(cfg: Dict[str, Any], split: str, load_labels: bool = True,
-                 load_sequence: bool = True):
+                 load_sequence: bool = True, load_labeled: bool = True,
+                 load_unlabeled: bool = False, load_onehot: bool = False):
     """Construct a dataset for `split` (reference loader/__init__.py:19-66).
 
     cfg is the `data` section plus merged monodepth_options keys.
+    `load_labeled`/`load_unlabeled`/`load_onehot` select the labeled/unlabeled
+    file composition for the semi-supervised loader (reference
+    train.py:219-236).
     """
     data_cls = get_loader(cfg["dataset"])
     restrict_dict = None
@@ -47,14 +51,16 @@ def build_loader(cfg: Dict[str, Any], split: str, load_labels: bool = True,
         crop_w=cfg.get("crop_w"),
         load_labels=load_labels,
         load_sequence=load_sequence,
+        load_labeled=load_labeled,
+        load_unlabeled=load_unlabeled,
+        load_onehot=load_onehot or cfg.get("load_onehot", False),
         restrict_dict=restrict_dict,
         generated_depth_dir=cfg.get("generated_depth_dir"),
-        load_onehot=cfg.get("load_onehot", False),
-        n_classes=cfg.get("n_classes"),
+        num_val_samples=cfg.get("num_val_samples"),
         dataset_seed=cfg.get("dataset_seed", 42),
         only_sequences_with_segmentation=cfg.get(
             "only_sequences_with_segmentation", split == "train"),
     )
-    return data_cls(**{k: v for k, v in kwargs.items() if v is not None or k in
-                       ("root", "augmentations", "restrict_dict", "generated_depth_dir",
-                        "crop_h", "crop_w", "n_classes")})
+    if cfg["dataset"] == "synthetic" and cfg.get("n_samples"):
+        kwargs["n_samples"] = cfg["n_samples"]
+    return data_cls(**kwargs)

@@ -372,7 +372,10 @@ def step_config_from_cfg(cfg: Dict[str, Any]) -> StepConfig:
     training/model/monodepth_options sections, reference train.py:156-160)."""
     t = cfg.get("training", {})
     m = cfg.get("model", {})
-    mono = cfg.get("monodepth_options", {})
+    mono = dict(cfg.get("monodepth_options", {}))
+    # depth-range/photometric params live under training.monodepth_loss
+    # (reference configs/cityscapes_joint.yml:65-73, merged at train.py:156-160)
+    mono.update(t.get("monodepth_loss") or {})
     u = t.get("unlabeled_segmentation") or {}
     from .state import ema_model_names
 

@@ -1,0 +1,355 @@
+"""Trainer: host-side orchestration around the jitted steps.
+
+Counterpart of the reference `Trainer` (train.py:154-923), re-organized for a
+functional backend: all per-step compute lives in engine/train_steps.py; this
+class owns data loaders, the device mesh, checkpointing, LR-plateau control,
+early stopping and metrics logging. The training loop itself mirrors
+train.py:748-815 (print_interval, step-threshold val_interval dict, best-mIoU
+checkpointing, early stopping).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MachineConfig
+from ..data.loader import DataLoader, infinite_iterator
+from ..data.registry import build_loader
+from ..models import build_model
+from ..ops.metrics import AverageMeter, AverageMeterDict, RunningScore
+from ..parallel import data_mesh, jit_eval_step, jit_train_step, replicate, shard_batch
+from ..utils import set_seeds
+from .checkpoints import (
+    apply_pretraining,
+    load_resume,
+    save_monodepth_models,
+    save_resume,
+)
+from .early_stopping import EarlyStopping
+from .optim import build_optimizer
+from .state import create_train_state, ema_model_names
+from .train_steps import make_eval_step, make_train_step, step_config_from_cfg
+from .writer import MetricsWriter
+
+logger = logging.getLogger("segsde")
+
+
+def current_val_interval(cfg: Dict[str, Any], step: int) -> int:
+    """Step-threshold keyed val_interval dict (reference train.py:117-121)."""
+    v = cfg["training"]["val_interval"]
+    if isinstance(v, int):
+        return v
+    intervals = sorted(((int(k), int(val)) for k, val in v.items()), reverse=True)
+    for k, val in intervals:
+        if step > k:
+            return val
+    return intervals[-1][1]
+
+
+def device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Strip host-only entries and convert to arrays."""
+    out = {}
+    for k, v in batch.items():
+        if k == "filename":
+            continue
+        out[k] = np.asarray(v)
+    return out
+
+
+class Trainer:
+    def __init__(self, cfg: Dict[str, Any], writer: Optional[MetricsWriter] = None,
+                 img_writer: Optional[MetricsWriter] = None, logger_=None,
+                 run_id: str = "run"):
+        self.cfg = cfg
+        self.run_id = run_id
+        self.logger = logger_ or logger
+
+        # merge shared monodepth options (reference train.py:156-160)
+        mono = cfg.get("monodepth_options", {})
+        for section in ("data", "model"):
+            cfg.setdefault(section, {})
+            for k, v in mono.items():
+                cfg[section].setdefault(k, v)
+        cfg["data"].setdefault("frame_ids", mono.get("frame_ids", [0, -1, 1]))
+        cfg["data"].setdefault("num_scales", mono.get("num_scales", 4))
+        if "crop_h" in mono:
+            cfg["data"].setdefault("crop_h", mono["crop_h"])
+            cfg["data"].setdefault("crop_w", mono["crop_w"])
+        if "height" in mono:
+            cfg["data"].setdefault("img_size", (mono["height"], mono["width"]))
+
+        set_seeds(cfg.get("seed", cfg["training"].get("seed", 42)))
+
+        log_path = cfg["training"].get("log_path", os.path.join(
+            getattr(MachineConfig, "LOG_DIR", None) or "results/logs", run_id))
+        os.makedirs(log_path, exist_ok=True)
+        self.log_path = log_path
+        self.writer = writer or MetricsWriter(log_path)
+        self.img_writer = img_writer or self.writer
+
+        # ---- semi-supervised config (reference setup_segmentation_unlabeled) ----
+        u = cfg["training"].get("unlabeled_segmentation") or {}
+        self.enable_unlabeled = bool(u)
+        self.only_unlabeled = u.get("only_unlabeled", True)
+        self.only_labeled = u.get("only_labeled", False)
+        assert not (self.only_unlabeled and self.only_labeled)
+        self.mix_use_gt = u.get("mix_use_gt", False)
+        mix_mask = u.get("mix_mask")
+        self.unlabeled_require_depth = mix_mask in ("depth", "depthcomp", "depthhist")
+
+        # ---- offline pseudo-depth (reference train.py:194-207) ----
+        need_offline_depth = (
+            (self.unlabeled_require_depth and not u.get("depthmix_online_depth", False))
+            or cfg["data"].get("depth_teacher") is not None
+        )
+        if need_offline_depth and cfg["data"].get("dataset") != "synthetic":
+            from .depth_estimator import DepthEstimator
+
+            DepthEstimator(cfg).prepare_depth_estimates()
+
+        # ---- data ----
+        data_cfg = dict(cfg["data"])
+        if data_cfg.get("dataset_seed") in (None, "same"):
+            data_cfg["dataset_seed"] = cfg.get("seed", 42)
+        if not need_offline_depth:
+            data_cfg.pop("generated_depth_dir", None)
+        self.train_dataset = build_loader(data_cfg, "train",
+                                          load_sequence=not cfg["model"].get("disable_monodepth", False))
+        val_split = data_cfg.get("val_split", "val")
+        self.val_dataset = build_loader({**data_cfg, "restrict_to_subset": None}, val_split,
+                                        load_sequence=not cfg["model"].get("disable_monodepth", False))
+        self.n_classes = self.train_dataset.n_classes
+
+        bs = cfg["training"]["batch_size"]
+        nw = cfg["data"].get("n_workers", 4)
+        self.train_loader = DataLoader(self.train_dataset, bs, shuffle=True,
+                                       drop_last=True, num_workers=nw)
+        self.val_loader = DataLoader(self.val_dataset,
+                                     cfg["training"].get("val_batch_size", bs),
+                                     shuffle=False, drop_last=False, num_workers=nw)
+        self.unlabeled_iter = None
+        if self.enable_unlabeled:
+            # labeled/unlabeled composition (reference train.py:219-236)
+            ds = build_loader(
+                data_cfg, "train",
+                load_sequence=not cfg["model"].get("disable_monodepth", False),
+                load_labeled=not self.only_unlabeled,
+                load_unlabeled=not self.only_labeled,
+                load_onehot=self.mix_use_gt)
+            self.unlabeled_dataset = ds
+            self.unlabeled_loader = DataLoader(ds, bs, shuffle=True, drop_last=True,
+                                               num_workers=nw)
+            self.unlabeled_iter = infinite_iterator(self.unlabeled_loader)
+
+        # ---- model + state ----
+        amp = cfg["training"].get("amp", False)
+        dtype = jnp.bfloat16 if amp else jnp.float32
+        self.model = build_model(cfg["model"], self.n_classes, dtype=dtype)
+
+        example = device_batch(next(iter(self.val_loader)))
+        rng = jax.random.PRNGKey(cfg.get("seed", 42))
+        variables = self.model.init({"params": rng, "dropout": rng},
+                                    {k: jnp.asarray(v) for k, v in example.items()})
+        params, batch_stats = variables["params"], variables.get("batch_stats", {})
+        params, batch_stats = apply_pretraining(
+            cfg["model"], params, batch_stats,
+            getattr(MachineConfig, "DOWNLOAD_MODEL_DIR", None))
+
+        self.tx = build_optimizer(cfg["training"], cfg["model"], params)
+        cfg.setdefault("data", {})["n_classes"] = self.n_classes
+        self.step_cfg = step_config_from_cfg(cfg)
+        self.state = create_train_state(self.model, rng, example, self.tx,
+                                        with_ema=self.step_cfg.use_ema)
+        self.state = self.state.replace(params=params, batch_stats=batch_stats)
+        if self.step_cfg.use_ema:
+            from .state import init_ema_params
+
+            self.state = self.state.replace(ema_params=init_ema_params(params))
+
+        # ---- compiled steps over the device mesh ----
+        devices = jax.devices()
+        self.mesh = None
+        if len(devices) > 1 and bs % len(devices) == 0:
+            self.mesh = data_mesh(devices)
+            self.train_step = jit_train_step(
+                make_train_step(self.model, self.step_cfg, self.tx), self.mesh,
+                with_unlabeled=self.enable_unlabeled)
+            self.eval_step = jit_eval_step(make_eval_step(self.model, self.step_cfg),
+                                           self.mesh)
+            self.state = replicate(self.state, self.mesh)
+        else:
+            self.train_step = jax.jit(make_train_step(self.model, self.step_cfg, self.tx),
+                                      donate_argnums=(0,))
+            self.eval_step = jax.jit(make_eval_step(self.model, self.step_cfg))
+
+        # ---- LR plateau / early stopping (reference train.py:296-315) ----
+        sched = cfg["training"].get("lr_schedule") or {}
+        self.plateau = None
+        if sched.get("name") == "reduce_lr_on_plateau":
+            self.plateau = {
+                "factor": sched.get("factor", 0.1),
+                "patience": sched.get("patience", 10),
+                "best": -np.inf, "count": 0,
+            }
+        es_cfg = cfg["training"].get("early_stopping") or None
+        self.early_stopping = EarlyStopping(logger=self.logger, **es_cfg) if es_cfg else None
+
+        self.mIoU = 0.0
+        self.fwAcc = 0.0
+        self.best_iou = -100.0
+        self.start_iter = 0
+
+        if cfg["training"].get("resume"):
+            self.load_resume()
+
+    # ------------------------------------------------------------------
+    def _put(self, batch):
+        b = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
+        if self.mesh is not None:
+            b = shard_batch(b, self.mesh)
+        return b
+
+    def train(self) -> int:
+        cfg = self.cfg
+        train_iters = cfg["training"]["train_iters"]
+        print_interval = cfg["training"].get("print_interval", 100)
+        rng = jax.random.PRNGKey(cfg.get("seed", 42))
+
+        loss_meter = AverageMeterDict()
+        time_meter = AverageMeter()
+        step = self.start_iter
+        flag = True
+        start_ts = time.time()
+
+        while step <= train_iters and flag:
+            for batch in self.train_loader:
+                step += 1
+                ub = None
+                if self.enable_unlabeled:
+                    ub = self._put(next(self.unlabeled_iter))
+                self.state, metrics = self.train_step(self.state, self._put(batch), ub, rng)
+
+                time_meter.update(time.time() - start_ts)
+                loss_meter.update({k: float(v) for k, v in metrics.items()})
+
+                if (step + 1) % print_interval == 0:
+                    msg = (f"Iter [{step + 1}/{train_iters}]  "
+                           f"Loss: {loss_meter.avgs['total_loss']:.4f}  "
+                           f"Time/Image: {time_meter.avg / cfg['training']['batch_size']:.4f}")
+                    self.logger.info(msg)
+                    for k, v in loss_meter.avgs.items():
+                        self.writer.add_scalar("training/" + k, v, step + 1)
+                    self.writer.add_scalar(
+                        "training/time_per_image",
+                        time_meter.avg / cfg["training"]["batch_size"], step + 1)
+                    self.writer.add_scalar("training/lr_scale",
+                                           float(self.state.lr_scale), step + 1)
+                    time_meter.reset()
+                    loss_meter.reset()
+
+                if (step + 1) % current_val_interval(cfg, step + 1) == 0 or \
+                        (step + 1) == train_iters:
+                    self.validate(step)
+                    if self.mIoU >= self.best_iou:
+                        self.best_iou = self.mIoU
+                        if cfg["training"].get("save_model", True):
+                            self.save_resume(step)
+                    if self.plateau is not None:
+                        self._plateau_step(self.mIoU)
+                    if self.early_stopping is not None and \
+                            not self.early_stopping.step(self.mIoU):
+                        flag = False
+                        break
+
+                if (step + 1) == train_iters:
+                    flag = False
+                    break
+                start_ts = time.time()
+        return step
+
+    def _plateau_step(self, metric: float):
+        p = self.plateau
+        if metric > p["best"]:
+            p["best"] = metric
+            p["count"] = 0
+        else:
+            p["count"] += 1
+            if p["count"] > p["patience"]:
+                p["count"] = 0
+                new_scale = float(self.state.lr_scale) * p["factor"]
+                self.state = self.state.replace(lr_scale=jnp.asarray(new_scale, jnp.float32))
+                self.logger.info("Plateau: lr_scale -> %.2e", new_scale)
+
+    # ------------------------------------------------------------------
+    def validate(self, step: int):
+        loss_meter = AverageMeterDict()
+        running = RunningScore(self.n_classes)
+        rng = jax.random.PRNGKey(0)
+        for batch in self.val_loader:
+            metrics, conf, aux = self.eval_step(self.state, self._put(batch), rng)
+            loss_meter.update({k: float(v) for k, v in metrics.items()})
+            running.update_matrix(np.asarray(conf))
+
+        for k, v in loss_meter.avgs.items():
+            self.writer.add_scalar("validation/" + k, v, step + 1)
+        if self.cfg["training"].get("segmentation_lambda", 1.0) > 0:
+            score, class_iou = running.get_scores()
+            for k, v in score.items():
+                self.writer.add_scalar(f"val_metrics/{k.strip()}", v, step + 1)
+            for k, v in class_iou.items():
+                self.writer.add_scalar(f"val_metrics/cls_{k}", v, step + 1)
+            self.mIoU = score["Mean IoU : \t"]
+            self.fwAcc = score["FreqW Acc : \t"]
+            self.logger.info("Validation @%d: mIoU=%.4f", step + 1, self.mIoU)
+
+    # ------------------------------------------------------------------
+    def save_resume(self, step: int) -> str:
+        return save_resume(self.log_path, self.state, self.best_iou)
+
+    def load_resume(self, strict: bool = True, load_model_only: bool = False):
+        path = self.cfg["training"]["resume"]
+        if os.path.isfile(path):
+            self.state, self.start_iter, self.best_iou = load_resume(
+                path, self.state, load_model_only)
+            self.logger.info("Loaded checkpoint %s (iter %d)", path, self.start_iter)
+        else:
+            self.logger.info("No checkpoint found at %s", path)
+
+    def save_monodepth_models(self):
+        params = self.state.params
+        if self.cfg["training"].get("save_monodepth_ema", False):
+            assert self.state.ema_params is not None
+            params = self.state.ema_params
+        save_monodepth_models(
+            self.log_path, params, self.state.batch_stats,
+            include_encoder=not self.cfg["model"].get("freeze_backbone", False))
+
+
+def train_main(cfg: Dict[str, Any], run_id: str = "run") -> None:
+    """reference train.py:939-963."""
+    from ..config import expand_cfg_vars
+
+    MachineConfig(cfg.get("machine", "ws"))
+    expand_cfg_vars(cfg)
+    log_path = cfg["training"].setdefault(
+        "log_path", os.path.join(MachineConfig.LOG_DIR, run_id))
+    os.makedirs(log_path, exist_ok=True)
+    import yaml
+
+    with open(os.path.join(log_path, "cfg.yml"), "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from ..utils import get_logger
+
+    lg = get_logger(log_path)
+    trainer = Trainer(cfg, logger_=lg, run_id=run_id)
+    trainer.train()
+    if cfg["training"].get("save_monodepth", False):
+        trainer.save_monodepth_models()

@@ -200,6 +200,11 @@ def build_model(model_cfg: Dict[str, Any], n_classes: int,
     """
     m = dict(model_cfg)
     rsd = m.get("replace_stride_with_dilation")
+    depth_args = dict(m.get("depth_args") or {})
+    depth_args.pop("max_scale_size", None)  # static shapes make it redundant
+    seg_args = dict(m.get("segmentation_args") or {})
+    seg_args.pop("weights", None)  # pretrained unet weights handled by checkpoints
+    m["depth_args"], m["segmentation_args"] = depth_args, seg_args
     return JointSegmentationDepth(
         backbone_depth=_BACKBONE_DEPTH[m.get("backbone_name", "resnet101")],
         replace_stride_with_dilation=tuple(rsd) if rsd else None,
