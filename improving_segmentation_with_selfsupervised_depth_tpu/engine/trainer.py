@@ -310,6 +310,13 @@ class Trainer:
             self.logger.info("Validation @%d: mIoU=%.4f", step + 1, self.mIoU)
 
     # ------------------------------------------------------------------
+    def train_loader_sequential(self) -> DataLoader:
+        """Unshuffled, non-dropping loader over the train subset (used by
+        label-selection scoring, reference label_selection.py:367-391)."""
+        return DataLoader(self.train_dataset, self.cfg["training"]["batch_size"],
+                          shuffle=False, drop_last=False,
+                          num_workers=self.cfg["data"].get("n_workers", 2))
+
     def save_resume(self, step: int) -> str:
         return save_resume(self.log_path, self.state, self.best_iou)
 
