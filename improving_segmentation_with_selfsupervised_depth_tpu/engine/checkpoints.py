@@ -164,11 +164,30 @@ def apply_pretraining(
             if comp not in params:
                 continue
             mp, tp = comp_path(name, comp)
+            if not os.path.exists(mp) and not os.path.exists(tp):
+                # try fetching the published checkpoint (reference
+                # models/utils.py:108-172; no-op offline)
+                try:
+                    from ..utils.gdrive import download_model_if_doesnt_exist
+
+                    download_model_if_doesnt_exist(name, download_model_dir)
+                except Exception:
+                    pass
             if os.path.exists(mp):
                 params, batch_stats = load_component_weights(mp, params, batch_stats, comp)
             elif os.path.exists(tp):
+                da = dict(model_cfg.get("depth_args") or {})
+                dd_cfg = {
+                    "scales": tuple(range(model_cfg.get("num_scales", 4))),
+                    "n_upconv": da.get("n_upconv", 4),
+                    "intermediate_aspp": da.get("intermediate_aspp", False),
+                    "aspp_rates": tuple(da.get("aspp_rates", (6, 12, 18))),
+                    "aspp_pooling": da.get("aspp_pooling", True),
+                    "n_project_skip_ch": da.get("n_project_skip_ch", -1),
+                    "batch_norm": da.get("batch_norm", False),
+                } if comp == "depth" else None
                 params, batch_stats = maybe_load_torch_component(
-                    tp, params, batch_stats, comp)
+                    tp, params, batch_stats, comp, depth_decoder_cfg=dd_cfg)
             else:
                 raise FileNotFoundError(
                     f"Pretrained component {comp} for {name} not found at {mp} or {tp}")

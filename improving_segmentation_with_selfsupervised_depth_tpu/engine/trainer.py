@@ -41,6 +41,21 @@ from .writer import MetricsWriter
 logger = logging.getLogger("segsde")
 
 
+def _colorize(img: np.ndarray, cmap: str = "plasma", max_percentile: int = 100) -> np.ndarray:
+    """Colormap a depth/disparity map to RGB (reference train.py:137-151)."""
+    img = np.asarray(img, np.float64).squeeze()
+    vmin = float(np.min(img))
+    vmax = float(np.max(img) if max_percentile == 100 else np.percentile(img, max_percentile))
+    try:
+        import matplotlib
+
+        cm = matplotlib.colormaps[cmap]
+        return cm(np.clip(img, vmin, vmax) / max(vmax, 1e-12))[..., :3]
+    except Exception:
+        norm = np.clip(img, vmin, vmax) / max(vmax, 1e-12)
+        return np.stack([norm, norm, norm], axis=-1)
+
+
 def current_val_interval(cfg: Dict[str, Any], step: int) -> int:
     """Step-threshold keyed val_interval dict (reference train.py:117-121)."""
     v = cfg["training"]["val_interval"]
@@ -292,10 +307,27 @@ class Trainer:
         loss_meter = AverageMeterDict()
         running = RunningScore(self.n_classes)
         rng = jax.random.PRNGKey(0)
+        imgs_to_save = []
+        n_imgs = self.cfg["training"].get("n_tensorboard_imgs", 0)
         for batch in self.val_loader:
             metrics, conf, aux = self.eval_step(self.state, self._put(batch), rng)
             loss_meter.update({k: float(v) for k, v in metrics.items()})
             running.update_matrix(np.asarray(conf))
+            if len(imgs_to_save) < n_imgs:
+                imgs = np.asarray(batch["color_aug_0_0"])
+                gts = np.asarray(batch.get("lbl")) if "lbl" in batch else None
+                preds = np.asarray(aux["pred"]) if "pred" in aux else None
+                disps = np.asarray(aux["disp_0"], np.float32) if "disp_0" in aux else None
+                for j in range(imgs.shape[0]):
+                    if len(imgs_to_save) >= n_imgs:
+                        break
+                    imgs_to_save.append((
+                        imgs[j],
+                        gts[j] if gts is not None else None,
+                        preds[j] if preds is not None else None,
+                        disps[j] if disps is not None else None,
+                    ))
+        self._log_val_images(imgs_to_save, step)
 
         for k, v in loss_meter.avgs.items():
             self.writer.add_scalar("validation/" + k, v, step + 1)
@@ -308,6 +340,23 @@ class Trainer:
             self.mIoU = score["Mean IoU : \t"]
             self.fwAcc = score["FreqW Acc : \t"]
             self.logger.info("Validation @%d: mIoU=%.4f", step + 1, self.mIoU)
+
+    def _log_val_images(self, imgs_to_save, step: int):
+        """Input / GT / prediction / plasma-colorized depth per sample
+        (reference train.py:904-923, _colorize 137-151)."""
+        for j, (img, gt, pred, disp) in enumerate(imgs_to_save):
+            prefix = f"{self.run_id.replace('/', '_')}/{j}"
+            self.img_writer.add_image(f"{prefix}_0image", img, step + 1)
+            if gt is not None:
+                self.img_writer.add_image(
+                    f"{prefix}_1ground_truth",
+                    self.val_dataset.decode_segmap_tocolor(gt), step + 1)
+            if pred is not None:
+                self.img_writer.add_image(
+                    f"{prefix}_2prediction",
+                    self.val_dataset.decode_segmap_tocolor(pred), step + 1)
+            if disp is not None:
+                self.img_writer.add_image(f"{prefix}_3depth", _colorize(disp), step + 1)
 
     # ------------------------------------------------------------------
     def train_loader_sequential(self) -> DataLoader:
@@ -358,5 +407,6 @@ def train_main(cfg: Dict[str, Any], run_id: str = "run") -> None:
     lg = get_logger(log_path)
     trainer = Trainer(cfg, logger_=lg, run_id=run_id)
     trainer.train()
-    if cfg["training"].get("save_monodepth", False):
+    if cfg["training"].get("save_separate_monodepth_models", False):
+        # component export for the SDE transfer chain (reference train.py:377-390)
         trainer.save_monodepth_models()

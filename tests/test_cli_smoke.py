@@ -1,0 +1,101 @@
+"""CLI smoke tests: PAD semi-supervised trainer (exp-212 shape) + inference."""
+
+import os
+
+import numpy as np
+import yaml
+
+from improving_segmentation_with_selfsupervised_depth_tpu.engine.trainer import Trainer
+
+
+def _pad_cfg(tmp_path):
+    return {
+        "seed": 42,
+        "model": {
+            "arch": "joint_segmentation_depth",
+            "backbone_name": "resnet18",
+            "segmentation_name": "mtl_pad",
+            "segmentation_args": {"output_stride": 1, "distillation_layer": 7,
+                                  "side_output": True, "final_layer": 9},
+            "depth_args": {"intermediate_aspp": True, "aspp_rates": [1, 2]},
+            "disable_monodepth": False,
+            "disable_pose": False,
+            "backbone_pretraining": "none",
+        },
+        "monodepth_options": {"frame_ids": [0, -1, 1], "num_scales": 1,
+                              "height": 64, "width": 96},
+        "data": {"dataset": "synthetic", "n_samples": 8, "img_size": (64, 96),
+                 "n_workers": 2, "augmentations": {}},
+        "training": {
+            "log_path": str(tmp_path / "pad"),
+            "train_iters": 2, "batch_size": 2, "val_batch_size": 2,
+            "print_interval": 1, "val_interval": {"0": 1},
+            "optimizer": {"name": "sgd", "lr": 1e-2, "momentum": 0.9,
+                          "backbone_lr": 1e-3, "pose_lr": 1e-6},
+            "lr_schedule": {"name": "step_lr", "step_size": 100, "gamma": 0.1},
+            "clip_grad_norm": 10.0,
+            "segmentation_lambda": 1.0, "monodepth_lambda": 1.0,
+            "save_model": True, "n_tensorboard_imgs": 2,
+            "unlabeled_segmentation": {
+                "consistency_weight": 1.0,
+                "mix_mask": "depthcomp",
+                "depthmix_online_depth": True,
+                "backward_first_pseudo_label": False,
+                "color_jitter": True, "blur": True,
+                "only_unlabeled": False, "mix_use_gt": True,
+                "depthcomp_margin": 0.03,
+                "depthcomp_foreground_threshold": 0,
+            },
+            "monodepth_loss": {"min_depth": 0.1, "max_depth": 100,
+                               "test_min_depth": 1e-3, "test_max_depth": 80,
+                               "disparity_smoothness": 1e-3},
+        },
+    }
+
+
+def test_pad_semisup_online_depthmix_end_to_end(tmp_path):
+    """Exp-212 shape: PAD decoder + mean teacher + online-depth DepthMix +
+    photometric loss, 2 steps on synthetic data."""
+    cfg = _pad_cfg(tmp_path)
+    trainer = Trainer(cfg, run_id="pad")
+    assert trainer.step_cfg.use_ema
+    assert trainer.step_cfg.ema_names == ("depth", "encoder", "mtl_decoder")
+    final = trainer.train()
+    assert final >= 2
+    assert np.isfinite(trainer.mIoU)
+
+
+def test_inference_cli_on_synthetic_checkpoint(tmp_path):
+    """Train 1 step, then run the Inference pipeline from the saved dir."""
+    from improving_segmentation_with_selfsupervised_depth_tpu.cli.inference_cli import (
+        Inference,
+    )
+
+    cfg = _pad_cfg(tmp_path)
+    cfg["model"]["segmentation_name"] = "joint_seg_depth_dec"
+    cfg["model"]["segmentation_args"] = {"layers": [9], "head_inter": False,
+                                         "output_stride": 1}
+    cfg["model"]["disable_pose"] = True
+    cfg["training"]["monodepth_lambda"] = 0.0
+    cfg["training"]["unlabeled_segmentation"] = None
+    trainer = Trainer(cfg, run_id="inf")
+    trainer.train()
+    ckpt_dir = trainer.log_path
+    assert os.path.exists(os.path.join(ckpt_dir, "best_model.msgpack"))
+
+    inf_cfg = {
+        **cfg,
+        "data": {**cfg["data"], "dataset": "synthetic"},
+        "training": {**cfg["training"],
+                     "resume": os.path.join(ckpt_dir, "best_model.msgpack")},
+    }
+    inf_cfg["model"]["disable_pose"] = True
+    out_dir = str(tmp_path / "inference_out")
+    os.makedirs(out_dir, exist_ok=True)
+    inf = Inference(inf_cfg, out_dir, "inf")
+    inf.run()
+    outputs = []
+    for root, _, files in os.walk(out_dir):
+        outputs.extend(files)
+    assert any(f.endswith("_label.png") for f in outputs)
+    assert any(f.endswith("_depth.png") for f in outputs)

@@ -81,7 +81,9 @@ def test_trainer_resume_roundtrip(tmp_path):
     cfg = _base_cfg(tmp_path)
     t1 = Trainer(cfg, run_id="t1")
     t1.train()
-    ckpt = os.path.join(t1.log_path, "best_model.msgpack")
+    # re-save the *final* state explicitly (best_model may be from an earlier
+    # validation step)
+    ckpt = t1.save_resume(3)
 
     cfg2 = _base_cfg(tmp_path)
     cfg2["training"]["resume"] = ckpt
