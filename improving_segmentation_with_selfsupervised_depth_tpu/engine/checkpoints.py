@@ -55,17 +55,23 @@ def load_resume(ckpt_path: str, state: TrainState, load_model_only: bool = False
 
     Returns (state, step, best_iou)."""
     with open(ckpt_path, "rb") as f:
-        raw = f.read()
-    template = {
-        "step": np.asarray(state.step),
-        "params": _tree_to_numpy(state.params),
-        "batch_stats": _tree_to_numpy(state.batch_stats),
-        "opt_state": _tree_to_numpy(state.opt_state),
-        "lr_scale": np.asarray(state.lr_scale),
+        raw = serialization.msgpack_restore(f.read())
+
+    payload = {
+        "step": raw["step"],
+        "lr_scale": raw.get("lr_scale", np.asarray(1.0, np.float32)),
+        "params": serialization.from_state_dict(_tree_to_numpy(state.params),
+                                                raw["params"]),
+        "batch_stats": serialization.from_state_dict(
+            _tree_to_numpy(state.batch_stats), raw["batch_stats"]),
     }
-    if state.ema_params is not None:
-        template["ema_params"] = _tree_to_numpy(state.ema_params)
-    payload = serialization.from_bytes(template, raw)
+    if not load_model_only:
+        # opt_state restore requires a structurally matching optimizer
+        payload["opt_state"] = serialization.from_state_dict(
+            state.opt_state, raw["opt_state"])
+    if state.ema_params is not None and "ema_params" in raw:
+        payload["ema_params"] = serialization.from_state_dict(
+            _tree_to_numpy(state.ema_params), raw["ema_params"])
 
     meta_path = os.path.join(os.path.dirname(ckpt_path), "best_model.json")
     best_iou, step = -100.0, int(payload["step"])

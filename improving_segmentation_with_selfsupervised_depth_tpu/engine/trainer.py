@@ -135,11 +135,17 @@ class Trainer:
             data_cfg["dataset_seed"] = cfg.get("seed", 42)
         if not need_offline_depth:
             data_cfg.pop("generated_depth_dir", None)
+        # sequence frames only when the photometric loss is on; labels only
+        # when the segmentation loss is on (reference train.py:210-214)
+        load_sequence = cfg["training"].get("monodepth_lambda", 0.0) != 0
+        load_labels = cfg["training"].get("segmentation_lambda", 1.0) != 0
         self.train_dataset = build_loader(data_cfg, "train",
-                                          load_sequence=not cfg["model"].get("disable_monodepth", False))
+                                          load_labels=load_labels,
+                                          load_sequence=load_sequence)
         val_split = data_cfg.get("val_split", "val")
         self.val_dataset = build_loader({**data_cfg, "restrict_to_subset": None}, val_split,
-                                        load_sequence=not cfg["model"].get("disable_monodepth", False))
+                                        load_labels=load_labels,
+                                        load_sequence=load_sequence)
         self.n_classes = self.train_dataset.n_classes
 
         bs = cfg["training"]["batch_size"]
@@ -152,9 +158,16 @@ class Trainer:
         self.unlabeled_iter = None
         if self.enable_unlabeled:
             # labeled/unlabeled composition (reference train.py:219-236)
+            u_data_cfg = dict(data_cfg)
+            mix_video = u.get("mix_video", False)
+            if mix_video:
+                assert not self.mix_use_gt and not self.only_labeled and not self.only_unlabeled
+                u_data_cfg.update({"only_sequences_with_segmentation": False,
+                                   "restrict_to_subset": None})
             ds = build_loader(
-                data_cfg, "train",
-                load_sequence=not cfg["model"].get("disable_monodepth", False),
+                u_data_cfg, "train",
+                load_labels=load_labels and not mix_video,
+                load_sequence=load_sequence,
                 load_labeled=not self.only_unlabeled,
                 load_unlabeled=not self.only_labeled,
                 load_onehot=self.mix_use_gt)

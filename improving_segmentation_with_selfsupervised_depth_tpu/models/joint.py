@@ -53,6 +53,7 @@ class JointSegmentationDepth(nn.Module):
     disable_pose: bool = False
     enable_imnet_encoder: bool = False
     imnet_encoder_dilation: bool = True
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -64,6 +65,7 @@ class JointSegmentationDepth(nn.Module):
         self.encoder = ResNetEncoder(
             depth=self.backbone_depth,
             replace_stride_with_dilation=self.replace_stride_with_dilation,
+            remat=self.remat,
             dtype=self.dtype,
             name="encoder",
         )
@@ -77,6 +79,7 @@ class JointSegmentationDepth(nn.Module):
                 replace_stride_with_dilation=(
                     self.replace_stride_with_dilation if self.imnet_encoder_dilation else None
                 ),
+                remat=self.remat,
                 dtype=self.dtype,
                 name="imnet_encoder",
             )
@@ -220,6 +223,7 @@ def build_model(model_cfg: Dict[str, Any], n_classes: int,
         disable_pose=m.get("disable_pose", False),
         enable_imnet_encoder=m.get("enable_imnet_encoder", False),
         imnet_encoder_dilation=m.get("imnet_encoder_dilation", True),
+        remat=m.get("remat", False),
         dtype=dtype,
     )
 

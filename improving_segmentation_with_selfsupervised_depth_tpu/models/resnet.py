@@ -45,7 +45,7 @@ class _BasicBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         bn = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                   epsilon=1e-5, dtype=self.dtype)
         identity = x
@@ -74,7 +74,7 @@ class _Bottleneck(nn.Module):
     expansion: int = 4
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         bn = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                   epsilon=1e-5, dtype=self.dtype)
         identity = x
@@ -106,12 +106,17 @@ class ResNetEncoder(nn.Module):
     depth: int = 101
     num_input_images: int = 1
     replace_stride_with_dilation: Optional[Sequence[bool]] = None
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         block_kind, stage_sizes = _STAGES[self.depth]
         block = _BasicBlock if block_kind == "basic" else _Bottleneck
+        if self.remat:
+            # rematerialize each residual block: trades recompute for HBM,
+            # enabling larger per-chip batches (jax.checkpoint)
+            block = nn.remat(block, static_argnums=(2,))
         dilate = self.replace_stride_with_dilation or (False, False, False)
 
         x = (x - 0.45) / 0.225  # baked-in normalization (resnet_encoder.py:92)
@@ -145,7 +150,7 @@ class ResNetEncoder(nn.Module):
                     downsample=needs_ds,
                     dtype=self.dtype,
                     name=f"layer{stage_i + 1}_{b}",
-                )(x, train=train)
+                )(x, train)
             in_ch = out_ch
             features.append(x)
 

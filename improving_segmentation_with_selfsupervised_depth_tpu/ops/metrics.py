@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,9 +25,11 @@ def confusion_matrix(label_true: jnp.ndarray, label_pred: jnp.ndarray, num_class
     lt = label_true.reshape(-1)
     lp = label_pred.reshape(-1)
     valid = (lt >= 0) & (lt < num_classes)
-    idx = jnp.where(valid, lt * num_classes + jnp.clip(lp, 0, num_classes - 1), num_classes * num_classes)
-    flat = jnp.zeros(num_classes * num_classes + 1, dtype=jnp.float32).at[idx].add(1.0)
-    return flat[:-1].reshape(num_classes, num_classes)
+    # scatter-free one-hot matmul formulation: rides the MXU instead of a
+    # serialized TPU scatter (invalid rows one-hot to all-zero)
+    oh_t = jax.nn.one_hot(jnp.where(valid, lt, -1), num_classes, dtype=jnp.float32)
+    oh_p = jax.nn.one_hot(jnp.clip(lp, 0, num_classes - 1), num_classes, dtype=jnp.float32)
+    return jnp.einsum("pc,pd->cd", oh_t, oh_p, precision=jax.lax.Precision.HIGHEST)
 
 
 def scores_from_confusion(hist: np.ndarray) -> Tuple[Dict[str, float], Dict[int, float]]:

@@ -61,7 +61,9 @@ def test_pad_semisup_online_depthmix_end_to_end(tmp_path):
     assert trainer.step_cfg.use_ema
     assert trainer.step_cfg.ema_names == ("depth", "encoder", "mtl_decoder")
     final = trainer.train()
-    assert final >= 2
+    # train_iters=2 executes one step then stops ((step+1)==train_iters,
+    # matching the reference loop train.py:765-811)
+    assert final >= 1
     assert np.isfinite(trainer.mIoU)
 
 
