@@ -1,0 +1,94 @@
+"""Behavioral tests for the fused photometric loss pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from improving_segmentation_with_selfsupervised_depth_tpu.data.synthetic import (
+    camera_matrix,
+    make_synthetic_batch,
+)
+from improving_segmentation_with_selfsupervised_depth_tpu.ops import photometric
+from improving_segmentation_with_selfsupervised_depth_tpu.ops.photometric import key_of
+
+
+def _outputs_for(batch, scales=(0,), seed=0):
+    rng = np.random.default_rng(seed)
+    n, h, w, _ = batch[key_of("color", 0, 0)].shape
+    out = {}
+    for s in scales:
+        out[key_of("disp", s)] = jnp.asarray(
+            rng.uniform(0.01, 0.99, (n, h // 2**s, w // 2**s, 1)).astype(np.float32))
+    for f in (-1, 1):
+        aa = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32) * 0.01)
+        tr = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32) * 0.01)
+        from improving_segmentation_with_selfsupervised_depth_tpu.ops.geometry import (
+            transformation_from_parameters,
+        )
+
+        out[key_of("cam_T_cam", 0, f)] = transformation_from_parameters(aa, tr, invert=f < 0)
+    return out
+
+
+def test_generate_images_pred_shapes_and_range():
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(2, 64, 96, num_scales=2).items()}
+    outputs = _outputs_for(batch, scales=(0, 1))
+    out = photometric.generate_images_pred(
+        batch, outputs, scales=(0, 1), frame_ids=(0, -1, 1),
+        min_depth=0.1, max_depth=100.0)
+    for s in (0, 1):
+        assert out[key_of("depth", 0, s)].shape == (2, 64, 96, 1)
+        assert float(out[key_of("depth", 0, s)].min()) >= 0.1 - 1e-5
+        for f in (-1, 1):
+            assert out[key_of("color_pred", f, s)].shape == (2, 64, 96, 3)
+
+
+def test_identity_warp_automask_prefers_identity():
+    """When the 'source' frames equal the target, identity reprojection wins
+    and the min-reprojection loss reduces to ~the smoothness term."""
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(2, 64, 96, num_scales=1).items()}
+    # make sources identical to the target
+    for f in (-1, 1):
+        batch[key_of("color", f, 0)] = batch[key_of("color", 0, 0)]
+    outputs = _outputs_for(batch)
+    out = photometric.generate_images_pred(
+        batch, outputs, scales=(0,), frame_ids=(0, -1, 1),
+        min_depth=0.1, max_depth=100.0)
+    losses = photometric.compute_losses(
+        jax.random.PRNGKey(0), batch, out, scales=(0,), frame_ids=(0, -1, 1),
+        disparity_smoothness=0.0)
+    # identity reprojection error is ~0 (plus 1e-5 tie-break noise)
+    assert float(losses["loss"]) < 1e-3
+
+
+def test_compute_losses_deterministic_given_key():
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(2, 64, 96, num_scales=1).items()}
+    outputs = _outputs_for(batch)
+    out = photometric.generate_images_pred(
+        batch, outputs, scales=(0,), frame_ids=(0, -1, 1),
+        min_depth=0.1, max_depth=100.0)
+    l1 = photometric.compute_losses(jax.random.PRNGKey(5), batch, out, scales=(0,),
+                                    frame_ids=(0, -1, 1), disparity_smoothness=1e-3)
+    l2 = photometric.compute_losses(jax.random.PRNGKey(5), batch, out, scales=(0,),
+                                    frame_ids=(0, -1, 1), disparity_smoothness=1e-3)
+    assert float(l1["loss"]) == float(l2["loss"])
+
+
+def test_depth_metrics_perfect_prediction():
+    gt = jnp.asarray(np.random.default_rng(0).uniform(1, 10, (2, 8, 8)).astype(np.float32))
+    m = photometric.depth_metrics(gt, gt, jnp.ones_like(gt))
+    assert float(m["abs_rel"]) < 1e-6
+    assert float(m["rms"]) < 1e-3
+    assert float(m["a1"]) == 1.0
+
+
+def test_depth_metrics_known_offset():
+    gt = jnp.ones((1, 4, 4)) * 2.0
+    pred = jnp.ones((1, 4, 4)) * 3.0
+    m = photometric.depth_metrics(pred, gt, jnp.ones_like(gt))
+    np.testing.assert_allclose(float(m["abs_rel"]), 0.5, rtol=1e-5)
+    np.testing.assert_allclose(float(m["rms"]), 1.0, rtol=1e-5)
+    assert float(m["a1"]) == 0.0  # ratio 1.5 > 1.25
