@@ -12,6 +12,7 @@ import os
 
 
 class MachineConfig:
+    AVAIL_MACHINES = ["ws"]
     GENERATED_DEPTH_DIR: str = None
     CITYSCAPES_DIR: str = None
     CAMVID_DIR: str = None
