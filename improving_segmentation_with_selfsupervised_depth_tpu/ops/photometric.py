@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from .geometry import backproject_depth, disp_to_depth, project_3d
 from .image import smoothness_loss, ssim
-from .resample import grid_sample
+from .resample import grid_sample_nograd_image
 from .resize import resize_bilinear
 
 
@@ -78,8 +78,10 @@ def generate_images_pred(
                 T = outputs[key_of("cam_T_cam", 0, frame_id)]
             pix_coords = project_3d(cam_points, inputs[key_of("K", 0)], T, full_h, full_w)
             out[key_of("sample", frame_id, scale)] = pix_coords
-            out[key_of("color_pred", frame_id, scale)] = grid_sample(
-                inputs[key_of("color", frame_id, 0)], pix_coords
+            # source frames are data (never differentiated): use the
+            # corner-saving custom-VJP warp whose backward is gather-free
+            out[key_of("color_pred", frame_id, scale)] = grid_sample_nograd_image(
+                jax.lax.stop_gradient(inputs[key_of("color", frame_id, 0)]), pix_coords
             )
     return out
 

@@ -14,7 +14,103 @@ weights (same subgradient as torch) and to the image through scatter-add.
 
 from __future__ import annotations
 
+from typing import Tuple
+
+import jax
 import jax.numpy as jnp
+
+
+def _corners_and_weights(img, grid, align_corners):
+    n, h, w, c = img.shape
+    gn, gh, gw, two = grid.shape
+    assert two == 2 and gn == n, (img.shape, grid.shape)
+
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
+    if align_corners:
+        ix = (gx + 1.0) * 0.5 * (w - 1)
+        iy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        ix = ((gx + 1.0) * w - 1.0) * 0.5
+        iy = ((gy + 1.0) * h - 1.0) * 0.5
+    ix = jnp.clip(ix, -1.0, float(w))
+    iy = jnp.clip(iy, -1.0, float(h))
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    fx = ix - x0
+    fy = iy - y0
+
+    x0c = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+    x1c = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+    y0c = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+    y1c = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
+
+    flat = img.reshape(n, h * w, c)
+
+    def gather(yi, xi):
+        idx = (yi * w + xi).reshape(n, gh * gw, 1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(n, gh, gw, c)
+
+    g00 = gather(y0c, x0c)
+    g01 = gather(y0c, x1c)
+    g10 = gather(y1c, x0c)
+    g11 = gather(y1c, x1c)
+    return (g00, g01, g10, g11), (fx, fy), (w, h)
+
+
+def _blend(corners, fx, fy, dtype):
+    g00, g01, g10, g11 = corners
+    w00 = ((1.0 - fx) * (1.0 - fy))[..., None]
+    w01 = (fx * (1.0 - fy))[..., None]
+    w10 = ((1.0 - fx) * fy)[..., None]
+    w11 = (fx * fy)[..., None]
+    return (w00 * g00 + w01 * g01 + w10 * g10 + w11 * g11).astype(dtype)
+
+
+@jax.custom_vjp
+def grid_sample_nograd_image(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """grid_sample (border, align_corners=True) that treats `img` as data.
+
+    Photometric-loss fast path: the warped sources are input frames (never
+    differentiated), so the backward pass needs gradients w.r.t. the *grid*
+    only. The custom VJP saves the four gathered corners from the forward and
+    makes the backward purely elementwise — no re-gather and no scatter-add on
+    TPU. The img cotangent is zero by contract (enforced by the caller).
+    """
+    corners, (fx, fy), _ = _corners_and_weights(img, grid, True)
+    return _blend(corners, fx, fy, img.dtype)
+
+
+def _gs_fwd(img, grid):
+    corners, (fx, fy), (w, h) = _corners_and_weights(img, grid, True)
+    out = _blend(corners, fx, fy, img.dtype)
+    dtype_token = jnp.zeros((0,), img.dtype)  # residuals must be JAX types
+    return out, (corners, fx, fy, w, h, img.shape, dtype_token)
+
+
+def _gs_bwd(res, ct):
+    (g00, g01, g10, g11), fx, fy, w, h, img_shape, dtype_token = res
+    img_dtype = dtype_token.dtype
+    ct = ct.astype(jnp.float32)
+    g00, g01, g10, g11 = (g.astype(jnp.float32) for g in (g00, g01, g10, g11))
+    # d(out)/d(fx), d(out)/d(fy) from the saved corners — elementwise only.
+    # Where corner indices were clamped (border), the corner differences are
+    # zero, reproducing torch's border subgradient.
+    dfx = jnp.sum(ct * ((g01 - g00) * (1.0 - fy)[..., None]
+                        + (g11 - g10) * fy[..., None]), axis=-1)
+    dfy = jnp.sum(ct * ((g10 - g00) * (1.0 - fx)[..., None]
+                        + (g11 - g01) * fx[..., None]), axis=-1)
+    # chain through the unnormalization (align_corners=True): ix=(gx+1)/2*(w-1)
+    dgx = dfx * 0.5 * (w - 1)
+    dgy = dfy * 0.5 * (h - 1)
+    dgrid = jnp.stack([dgx, dgy], axis=-1).astype(jnp.float32)
+    # image is data by contract; the zero cotangent is DCE'd by XLA because
+    # callers stop_gradient the image argument
+    return jnp.zeros(img_shape, img_dtype), dgrid
+
+
+grid_sample_nograd_image.defvjp(_gs_fwd, _gs_bwd)
 
 
 def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:

@@ -39,17 +39,28 @@ for f in (-1, 1):
     poses[f] = (aa, tr)
 
 
-def loss_v0(params):
+def loss_v0(params, no_ssim=False, skip_warp=False):
     outputs = {key_of("disp", s): params[f"disp_{s}"] for s in SCALES}
     for f in (-1, 1):
         aa, tr = params[f"pose_{f}"]
         outputs[key_of("cam_T_cam", 0, f)] = transformation_from_parameters(
             aa, tr, invert=f < 0)
-    outputs = photometric.generate_images_pred(
-        batch, outputs, scales=SCALES, frame_ids=FRAMES, min_depth=0.1, max_depth=100.0)
+    if skip_warp:
+        # replace each warp with a cheap elementwise proxy: isolates gather cost
+        for s in SCALES:
+            disp = resize_bilinear(outputs[key_of("disp", s)], (H, W), align_corners=False)
+            _, depth = disp_to_depth(disp, 0.1, 100.0)
+            outputs[key_of("depth", 0, s)] = depth
+            for f in (-1, 1):
+                T = outputs[key_of("cam_T_cam", 0, f)]
+                scale_fac = (depth * 1e-3 + T[:, 0, 0].reshape(-1, 1, 1, 1))
+                outputs[key_of("color_pred", f, s)] = batch[key_of("color", f, 0)] * scale_fac
+    else:
+        outputs = photometric.generate_images_pred(
+            batch, outputs, scales=SCALES, frame_ids=FRAMES, min_depth=0.1, max_depth=100.0)
     losses = photometric.compute_losses(
         jax.random.PRNGKey(0), batch, outputs, scales=SCALES, frame_ids=FRAMES,
-        disparity_smoothness=1e-3)
+        disparity_smoothness=1e-3, no_ssim=no_ssim)
     return losses["loss"]
 
 
@@ -104,7 +115,10 @@ params = {**{f"disp_{s}": disps[s] for s in SCALES},
           **{f"pose_{f}": poses[f] for f in (-1, 1)}}
 
 which = sys.argv[1] if len(sys.argv) > 1 else "v0"
-fn = {"v0": loss_v0, "v1": loss_v1}[which]
+import functools
+fn = {"v0": loss_v0, "v1": loss_v1,
+      "v0_nossim": functools.partial(loss_v0, no_ssim=True),
+      "v0_nowarp": functools.partial(loss_v0, skip_warp=True)}[which]
 g = jax.jit(jax.value_and_grad(fn))
 out = g(params)
 jax.block_until_ready(out[0])
