@@ -25,7 +25,7 @@ import jax.numpy as jnp
 REFERENCE_IMGS_PER_SEC = 10.0
 
 H = W = 512
-BATCH = 4
+BATCH = 8
 
 
 def main():

@@ -256,9 +256,23 @@ class Trainer:
         flag = True
         start_ts = time.time()
 
+        # optional JAX profiler capture (training.profile_dir +
+        # profile_start/profile_steps) — the TPU-native replacement for the
+        # reference's wall-clock-only telemetry (SURVEY §5)
+        profile_dir = cfg["training"].get("profile_dir")
+        profile_start = cfg["training"].get("profile_start", 10)
+        profile_steps = cfg["training"].get("profile_steps", 5)
+        profiling = False
+
         while step <= train_iters and flag:
             for batch in self.train_loader:
                 step += 1
+                if profile_dir and step == profile_start:
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                if profiling and step == profile_start + profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
                 ub = None
                 if self.enable_unlabeled:
                     ub = self._put(next(self.unlabeled_iter))

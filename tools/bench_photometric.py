@@ -39,7 +39,7 @@ for f in (-1, 1):
     poses[f] = (aa, tr)
 
 
-def loss_v0(params, no_ssim=False, skip_warp=False):
+def loss_v0(params, no_ssim=False, skip_warp=False, stop_grid=False):
     outputs = {key_of("disp", s): params[f"disp_{s}"] for s in SCALES}
     for f in (-1, 1):
         aa, tr = params[f"pose_{f}"]
@@ -55,6 +55,21 @@ def loss_v0(params, no_ssim=False, skip_warp=False):
                 T = outputs[key_of("cam_T_cam", 0, f)]
                 scale_fac = (depth * 1e-3 + T[:, 0, 0].reshape(-1, 1, 1, 1))
                 outputs[key_of("color_pred", f, s)] = batch[key_of("color", f, 0)] * scale_fac
+    elif stop_grid:
+        from improving_segmentation_with_selfsupervised_depth_tpu.ops.resample import (
+            grid_sample_nograd_image,
+        )
+        for s in SCALES:
+            disp = resize_bilinear(outputs[key_of("disp", s)], (H, W), align_corners=False)
+            _, depth = disp_to_depth(disp, 0.1, 100.0)
+            outputs[key_of("depth", 0, s)] = depth
+            cam_points = backproject_depth(depth, batch[key_of("inv_K", 0)])
+            for f in (-1, 1):
+                T = outputs[key_of("cam_T_cam", 0, f)]
+                pix = project_3d(cam_points, batch[key_of("K", 0)], T, H, W)
+                pix = jax.lax.stop_gradient(pix)  # no grad through the grid
+                outputs[key_of("color_pred", f, s)] = grid_sample_nograd_image(
+                    jax.lax.stop_gradient(batch[key_of("color", f, 0)]), pix)
     else:
         outputs = photometric.generate_images_pred(
             batch, outputs, scales=SCALES, frame_ids=FRAMES, min_depth=0.1, max_depth=100.0)
@@ -116,10 +131,44 @@ params = {**{f"disp_{s}": disps[s] for s in SCALES},
 
 which = sys.argv[1] if len(sys.argv) > 1 else "v0"
 import functools
+
+
+def warp_fwd_only(params):
+    outputs = {key_of("disp", s): params[f"disp_{s}"] for s in SCALES}
+    for f in (-1, 1):
+        aa, tr = params[f"pose_{f}"]
+        outputs[key_of("cam_T_cam", 0, f)] = transformation_from_parameters(aa, tr, invert=f < 0)
+    outputs = photometric.generate_images_pred(
+        batch, outputs, scales=SCALES, frame_ids=FRAMES, min_depth=0.1, max_depth=100.0)
+    return sum(jnp.sum(outputs[key_of("color_pred", f, s)])
+               for s in SCALES for f in (-1, 1))
+
+
+def proj_fwd_only(params):
+    outputs = {key_of("disp", s): params[f"disp_{s}"] for s in SCALES}
+    for f in (-1, 1):
+        aa, tr = params[f"pose_{f}"]
+        outputs[key_of("cam_T_cam", 0, f)] = transformation_from_parameters(aa, tr, invert=f < 0)
+    tot = 0.0
+    for s in SCALES:
+        disp = resize_bilinear(outputs[key_of("disp", s)], (H, W), align_corners=False)
+        _, depth = disp_to_depth(disp, 0.1, 100.0)
+        cam_points = backproject_depth(depth, batch[key_of("inv_K", 0)])
+        for f in (-1, 1):
+            T = outputs[key_of("cam_T_cam", 0, f)]
+            tot += jnp.sum(project_3d(cam_points, batch[key_of("K", 0)], T, H, W))
+    return tot
 fn = {"v0": loss_v0, "v1": loss_v1,
       "v0_nossim": functools.partial(loss_v0, no_ssim=True),
-      "v0_nowarp": functools.partial(loss_v0, skip_warp=True)}[which]
-g = jax.jit(jax.value_and_grad(fn))
+      "v0_nowarp": functools.partial(loss_v0, skip_warp=True),
+      "v0_stopgrid": functools.partial(loss_v0, stop_grid=True),
+      "warp_fwd": warp_fwd_only,
+      "proj_fwd": proj_fwd_only,
+      "loss_fwd": loss_v0}[which]
+if which.endswith("_fwd"):
+    g = jax.jit(lambda p: (fn(p), p))
+else:
+    g = jax.jit(jax.value_and_grad(fn))
 out = g(params)
 jax.block_until_ready(out[0])
 N = 20
@@ -129,7 +178,10 @@ p = params
 for i in range(N):
     val, grads = g(p)
     # perturb to defeat any result caching
-    p = jax.tree_util.tree_map(lambda a, b: a + 1e-12 * b, p, grads)
+    if which.endswith("_fwd"):
+        p = jax.tree_util.tree_map(lambda a: a * (1.0 + 1e-9), p)
+    else:
+        p = jax.tree_util.tree_map(lambda a, b: a + 1e-12 * b, p, grads)
 jax.block_until_ready(val)
 dt = (time.perf_counter() - t0) / N
 print(f"photometric {which}: {dt * 1000:.1f} ms (fwd+bwd, bs{BATCH})", flush=True)
