@@ -47,7 +47,8 @@ def main():
         "replace_stride_with_dilation": [False, False, True],
         "segmentation_name": "joint_seg_depth_dec",
         "segmentation_args": {"layers": [9]},
-        "depth_args": {"intermediate_aspp": True, "aspp_rates": [6, 12, 18]},
+        "depth_args": {"intermediate_aspp": True, "aspp_rates": [6, 12, 18],
+                       "num_ch_dec": [64, 128, 128, 256, 256]},  # dec6 (flagship)
         "frame_ids": [0, -1, 1],
         "num_scales": 4,
     }
