@@ -81,6 +81,9 @@ class StepConfig:
     use_ema: bool = False
     ema_alpha: float = 0.99
     ema_names: Optional[Tuple[str, ...]] = None
+    # debug: return mixed images / mask / pseudo-label from the step
+    # (reference dumps class_mix_debug panels, train.py:726-744)
+    debug_images: bool = False
 
 
 def _apply(model, params, batch_stats, batch, *, train, rng=None, mutable=False, **kw):
@@ -267,11 +270,17 @@ def make_train_step(model, cfg: StepConfig, tx):
                 mixed_batch[key_of("color_aug", 0, 0)] = mixed_imgs
                 out_s, bs = _apply(model, params, bs, mixed_batch, train=True,
                                    rng=k_drop_m, mutable=True, use_pose=False, **enc_bn_kw)
-                l_2, _ = pseudo_label_loss(cfg, mixed_softmax, out_s["semantics"])
+                l_2, pseudo_label = pseudo_label_loss(cfg, mixed_softmax, out_s["semantics"])
 
                 seg_total = seg_total + l_2 + l_1
                 mono_total = mono_total + mono_loss_u
                 metrics["unlabeled_loss"] = l_2 + l_1
+                if cfg.debug_images:
+                    metrics["debug/mixed_imgs"] = jax.lax.stop_gradient(mixed_imgs)
+                    metrics["debug/mix_mask"] = mix_mask
+                    metrics["debug/pseudo_label"] = pseudo_label
+                    if depths is not None:
+                        metrics["debug/depths"] = depths
 
             total = seg_total + mono_total + pseudo_depth_loss
             metrics.update({
@@ -417,4 +426,7 @@ def step_config_from_cfg(cfg: Dict[str, Any]) -> StepConfig:
         backward_first_pseudo_label=u.get("backward_first_pseudo_label", False),
         use_ema=use_ema,
         ema_names=ema_model_names(t, m),
+        # the reference's experiments set 'debug_image' while the trainer reads
+        # 'debug_images' (quirk, SURVEY §7) — accept both
+        debug_images=bool(u.get("debug_images", u.get("debug_image", False))),
     )

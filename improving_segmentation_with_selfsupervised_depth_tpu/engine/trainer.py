@@ -264,6 +264,8 @@ class Trainer:
         profile_steps = cfg["training"].get("profile_steps", 5)
         profiling = False
 
+        self.tensorboard_training_images()
+
         while step <= train_iters and flag:
             for batch in self.train_loader:
                 step += 1
@@ -278,8 +280,12 @@ class Trainer:
                     ub = self._put(next(self.unlabeled_iter))
                 self.state, metrics = self.train_step(self.state, self._put(batch), ub, rng)
 
+                debug = {k: metrics.pop(k) for k in list(metrics) if k.startswith("debug/")}
                 time_meter.update(time.time() - start_ts)
                 loss_meter.update({k: float(v) for k, v in metrics.items()})
+
+                if debug and (step + 1) % print_interval == 0:
+                    self._dump_mix_debug(debug, step)
 
                 if (step + 1) % print_interval == 0:
                     msg = (f"Iter [{step + 1}/{train_iters}]  "
@@ -291,8 +297,21 @@ class Trainer:
                     self.writer.add_scalar(
                         "training/time_per_image",
                         time_meter.avg / cfg["training"]["batch_size"], step + 1)
-                    self.writer.add_scalar("training/lr_scale",
-                                           float(self.state.lr_scale), step + 1)
+                    # effective LR = base * schedule factor * plateau scale
+                    # (reference logs get_lr(optimizer), train.py:786)
+                    base_lr = (cfg["training"].get("optimizer") or {}).get("lr", 0.01)
+                    self.writer.add_scalar(
+                        "training/learning_rate",
+                        base_lr * float(self._lr_factor(step)) * float(self.state.lr_scale),
+                        step + 1)
+                    try:
+                        import psutil
+
+                        self.writer.add_scalar(
+                            "training/memory",
+                            psutil.virtual_memory().used / 1e9, step + 1)
+                    except Exception:
+                        pass
                     time_meter.reset()
                     loss_meter.reset()
 
@@ -367,6 +386,64 @@ class Trainer:
             self.mIoU = score["Mean IoU : \t"]
             self.fwAcc = score["FreqW Acc : \t"]
             self.logger.info("Validation @%d: mIoU=%.4f", step + 1, self.mIoU)
+
+    def _lr_factor(self, step: int) -> float:
+        from .optim import build_lr_factor_fn
+
+        if not hasattr(self, "_lr_factor_fn"):
+            self._lr_factor_fn = build_lr_factor_fn(
+                self.cfg["training"].get("lr_schedule"))
+        return float(self._lr_factor_fn(step))
+
+    def _dump_mix_debug(self, debug, step: int):
+        """Dump DepthMix/ClassMix composites (reference train.py:726-744)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            from matplotlib import pyplot as plt
+        except Exception:
+            return
+        imgs = np.asarray(debug["debug/mixed_imgs"], np.float32)
+        masks = np.asarray(debug["debug/mix_mask"], np.float32)
+        pseudo = np.asarray(debug["debug/pseudo_label"])
+        depths = np.asarray(debug["debug/depths"], np.float32) if "debug/depths" in debug else None
+        out_dir = os.path.join(self.log_path, "class_mix_debug")
+        os.makedirs(out_dir, exist_ok=True)
+        for j in range(min(2, imgs.shape[0])):
+            fig, axs = plt.subplots(2, 2, figsize=(8, 8))
+            axs[0][0].imshow(np.clip(imgs[j], 0, 1))
+            axs[0][1].imshow(masks[j], cmap="gray")
+            axs[1][0].imshow(self.val_dataset.decode_segmap_tocolor(pseudo[j]))
+            if depths is not None:
+                axs[1][1].imshow(depths[j], cmap="plasma")
+            for ax in axs.flat:
+                ax.axis("off")
+            fig.savefig(os.path.join(out_dir, f"{step}_{j}_img.jpg"))
+            plt.close(fig)
+
+    def tensorboard_training_images(self):
+        """Log the first K training images + GT at step 0 (reference
+        train.py:412-431)."""
+        n = self.cfg["training"].get("n_tensorboard_trainimgs", 0)
+        if n == 0:
+            return
+        saved = 0
+        for batch in self.train_loader:
+            imgs = np.asarray(batch["color_aug_0_0"])
+            lbls = np.asarray(batch["lbl"]) if "lbl" in batch else None
+            for j in range(imgs.shape[0]):
+                if saved >= n:
+                    return
+                saved += 1
+                prefix = f"trainset_{self.run_id.replace('/', '_')}/{saved}"
+                self.img_writer.add_image(f"{prefix}_0image", imgs[j], 0)
+                if lbls is not None:
+                    self.img_writer.add_image(
+                        f"{prefix}_1ground_truth",
+                        self.val_dataset.decode_segmap_tocolor(lbls[j]), 0)
+            if saved >= n:
+                return
 
     def _log_val_images(self, imgs_to_save, step: int):
         """Input / GT / prediction / plasma-colorized depth per sample

@@ -109,11 +109,15 @@ def test_semisup_trainer_with_depthmix(tmp_path):
             "depthcomp_margin": 0.03,
             "depthcomp_foreground_threshold": 0.0,
             "backward_first_pseudo_label": False,
+            "debug_image": True,
         },
     )
     cfg["data"]["restrict_to_subset"] = {"mode": "random", "n_subset": 4}
     trainer = Trainer(cfg, run_id="t3")
     assert trainer.step_cfg.use_ema
+    assert trainer.step_cfg.debug_images
     final_step = trainer.train()
     assert final_step >= 2
     assert trainer.state.ema_params is not None
+    # DepthMix composite debug panels were dumped (reference train.py:726-744)
+    assert os.path.isdir(os.path.join(trainer.log_path, "class_mix_debug"))
