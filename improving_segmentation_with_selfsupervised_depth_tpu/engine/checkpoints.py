@@ -156,6 +156,34 @@ def apply_pretraining(
         base = os.path.join(download_model_dir or ".", pretrain_name)
         return os.path.join(base, f"{comp}.msgpack"), os.path.join(base, f"{comp}.pth")
 
+    if model_cfg.get("backbone_pretraining") == "imnet" or model_cfg.get(
+            "enable_imnet_encoder", False):
+        # ImageNet initialization (reference models/utils.py:31-33 via
+        # torchvision). Zero-egress: looks for a converted .msgpack or a raw
+        # torchvision .pth under <download_model_dir>/imnet/<backbone>.{msgpack,pth}
+        backbone = model_cfg.get("backbone_name", "resnet101")
+        base = os.path.join(download_model_dir or ".", "imnet")
+        targets = []
+        if model_cfg.get("backbone_pretraining") == "imnet":
+            # the pose encoder is imnet-initialized alongside the backbone
+            # (reference models/utils.py:79-81, resnet18 multi-image)
+            targets.extend(["encoder", "pose_encoder"])
+        if model_cfg.get("enable_imnet_encoder", False):
+            targets.append("imnet_encoder")
+        for comp in targets:
+            if comp not in params:
+                continue
+            bb = "resnet18" if comp == "pose_encoder" else backbone
+            mp = os.path.join(base, f"{bb}.msgpack")
+            tp = os.path.join(base, f"{bb}.pth")
+            if os.path.exists(mp):
+                params, batch_stats = load_component_weights(mp, params, batch_stats, comp)
+            elif os.path.exists(tp):
+                params, batch_stats = maybe_load_torch_component(tp, params, batch_stats, comp)
+            else:
+                print(f"WARNING: imnet weights for {backbone} not found under {base}; "
+                      f"{comp} stays randomly initialized")
+
     for cfg_key, comps in (
         ("backbone_pretraining", ["encoder"]),
         ("depth_pretraining", ["depth"]),

@@ -173,12 +173,19 @@ def convert_pose_decoder(sd: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _infer_depth_from_sd(sd, prefix):
-    n_l4 = len({k.split(".")[2] for k in sd if k.startswith(prefix + "layer4.")})
-    has_conv3 = any("conv3" in k for k in sd)
+    def blocks(layer):
+        return len({k[len(prefix):].split(".")[1] for k in sd
+                    if k.startswith(prefix + f"layer{layer}.")})
+
+    has_conv3 = any(".conv3." in k for k in sd)
     if not has_conv3:
-        return 18 if n_l4 == 2 else 34
-    return {3: 50 if len({k.split(".")[2] for k in sd if k.startswith(prefix + "layer3.")}) == 6
-            else 101}.get(3)
+        return 18 if blocks(1) == 2 else 34
+    l3 = blocks(3)
+    if l3 == 6:
+        return 50
+    if l3 == 23:
+        return 101
+    return 152
 
 
 def maybe_load_torch_component(path: str, params, batch_stats, name: str,
@@ -194,6 +201,16 @@ def maybe_load_torch_component(path: str, params, batch_stats, name: str,
         prefix = "encoder." if any(k.startswith("encoder.") for k in sd) else ""
         depth = _infer_depth_from_sd(sd, prefix)
         p, s = convert_resnet_encoder(sd, depth, prefix)
+        # multi-image input adaptation: replicate conv1 across stacked frames
+        # and average (reference models/resnet_encoder.py:57-60)
+        tmpl_conv1 = params.get(name, {}).get("conv1", {}).get("kernel")
+        if tmpl_conv1 is not None:
+            in_tmpl = np.shape(tmpl_conv1)[2]
+            in_loaded = p["conv1"]["kernel"].shape[2]
+            if in_tmpl != in_loaded and in_tmpl % in_loaded == 0:
+                rep = in_tmpl // in_loaded
+                p["conv1"]["kernel"] = np.concatenate(
+                    [p["conv1"]["kernel"]] * rep, axis=2) / rep
         new_params[name] = p
         new_bs[name] = s
     elif name == "depth":

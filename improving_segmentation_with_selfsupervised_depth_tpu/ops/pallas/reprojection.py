@@ -1,4 +1,4 @@
-"""Fused SSIM+L1 reprojection error — one VMEM pass per (pred, target) pair.
+"""Fused SSIM+L1 reprojection error — banded Pallas TPU kernel.
 
 The reference formulation (loss/monodepth_loss.py:104-116 + SSIM at
 models/monodepth_layers.py:224-254) chains reflection pad, five 3x3 average
@@ -7,14 +7,13 @@ left to XLA. This kernel computes the whole per-pixel error
 
     0.85 * mean_c(clip((1-SSIM)/2, 0, 1)) + 0.15 * mean_c(|target - pred|)
 
-in a single pass over VMEM-resident rows.
+in one read of the inputs and one write of the output.
 
-Layout trick: channels are folded into the *sublane* dimension ((N*C*H, W)
-view) so the 128-lane axis stays the image width; the 3x3 windows are computed
-with static shifted slices of a (rows+2)-halo block, not reduce_window.
-
-Grid: one program per (batch*channel) image plane; H,W up to VMEM limits
-(512x512 f32 x ~8 temporaries ~ 8MB). Returns the channel-averaged map (N,H,W).
+Design (VMEM-bounded): inputs stay in HBM (`memory_space=ANY`); the kernel
+DMAs one (BAND+2, W+2) row band per grid step — the +2 halo rows give the 3x3
+windows without overlapping BlockSpecs. Grid is (N, H/BAND, C) with the
+channel axis innermost so the channel mean accumulates into the revisited
+output block.
 """
 
 from __future__ import annotations
@@ -31,7 +30,7 @@ _C2 = 0.03**2
 
 
 def _window_sum9(x):
-    """Sum over the 3x3 neighbourhood; x is (H+2, W+2), returns (H, W)."""
+    """Sum over the 3x3 neighbourhood; x is (B+2, W+2), returns (B, W)."""
     h2, w2 = x.shape
     h, w = h2 - 2, w2 - 2
     acc = jnp.zeros((h, w), jnp.float32)
@@ -41,64 +40,86 @@ def _window_sum9(x):
     return acc
 
 
-def _reproj_kernel(pred_ref, target_ref, out_ref, *, n_channels: int):
-    # refs: pred/target (C, H+2, W+2) reflect-padded planes of ONE batch item;
-    # out (H, W) accumulates the channel mean of the fused error.
-    c = n_channels
-    hp = pred_ref.shape[2]
-    wp = pred_ref.shape[3]
-    h, w = hp - 2, wp - 2
+def _reproj_kernel(pred_hbm, target_hbm, out_ref, xb, yb, sems,
+                   *, n_channels: int, band: int):
+    n_i = pl.program_id(0)
+    band_j = pl.program_id(1)
+    ci = pl.program_id(2)
+    plane = n_i * n_channels + ci
+    row0 = band_j * band
 
-    acc = jnp.zeros((h, w), jnp.float32)
-    for ci in range(c):
-        x = pred_ref[0, ci].astype(jnp.float32)
-        y = target_ref[0, ci].astype(jnp.float32)
+    cp_x = pltpu.make_async_copy(
+        pred_hbm.at[plane, pl.ds(row0, band + 2)], xb, sems.at[0])
+    cp_y = pltpu.make_async_copy(
+        target_hbm.at[plane, pl.ds(row0, band + 2)], yb, sems.at[1])
+    cp_x.start()
+    cp_y.start()
+    cp_x.wait()
+    cp_y.wait()
 
-        mu_x = _window_sum9(x) / 9.0
-        mu_y = _window_sum9(y) / 9.0
-        sig_x = _window_sum9(x * x) / 9.0 - mu_x * mu_x
-        sig_y = _window_sum9(y * y) / 9.0 - mu_y * mu_y
-        sig_xy = _window_sum9(x * y) / 9.0 - mu_x * mu_y
+    x = xb[...].astype(jnp.float32)
+    y = yb[...].astype(jnp.float32)
+    h, w = band, x.shape[1] - 2
 
-        ssim_n = (2.0 * mu_x * mu_y + _C1) * (2.0 * sig_xy + _C2)
-        ssim_d = (mu_x * mu_x + mu_y * mu_y + _C1) * (sig_x + sig_y + _C2)
-        ssim_term = jnp.clip((1.0 - ssim_n / ssim_d) * 0.5, 0.0, 1.0)
+    mu_x = _window_sum9(x) / 9.0
+    mu_y = _window_sum9(y) / 9.0
+    sig_x = _window_sum9(x * x) / 9.0 - mu_x * mu_x
+    sig_y = _window_sum9(y * y) / 9.0 - mu_y * mu_y
+    sig_xy = _window_sum9(x * y) / 9.0 - mu_x * mu_y
 
-        l1 = jnp.abs(y[1 : 1 + h, 1 : 1 + w] - x[1 : 1 + h, 1 : 1 + w])
-        acc = acc + 0.85 * ssim_term + 0.15 * l1
-    out_ref[0] = acc / c
+    ssim_n = (2.0 * mu_x * mu_y + _C1) * (2.0 * sig_xy + _C2)
+    ssim_d = (mu_x * mu_x + mu_y * mu_y + _C1) * (sig_x + sig_y + _C2)
+    ssim_term = jnp.clip((1.0 - ssim_n / ssim_d) * 0.5, 0.0, 1.0)
+
+    l1 = jnp.abs(y[1 : 1 + h, 1 : 1 + w] - x[1 : 1 + h, 1 : 1 + w])
+    contrib = (0.85 * ssim_term + 0.15 * l1) / n_channels
+
+    @pl.when(ci == 0)
+    def _():
+        out_ref[0] = contrib
+
+    @pl.when(ci > 0)
+    def _():
+        out_ref[0] = out_ref[0] + contrib
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "band"))
 def fused_reprojection_error(pred: jnp.ndarray, target: jnp.ndarray,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False, band: int = 128) -> jnp.ndarray:
     """Per-pixel 0.85*SSIM + 0.15*L1 error, channel-averaged.
 
     pred/target: (N, H, W, C) -> (N, H, W, 1). Matches
-    ops.photometric.reprojection_loss numerics.
+    ops.photometric.reprojection_loss numerics. H must be divisible by `band`
+    (band shrinks automatically otherwise).
     """
     n, h, w, c = pred.shape
-    # reflect-pad once on the host graph (cheap, fusable), channels-first planes
+    while h % band:
+        band //= 2
+    band = max(band, 1)
+
     def prep(x):
         x = jnp.pad(x.astype(jnp.float32),
                     [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
-        return x.transpose(0, 3, 1, 2)  # (N, C, H+2, W+2)
+        return x.transpose(0, 3, 1, 2).reshape(n * c, h + 2, w + 2)
 
     pred_p = prep(pred)
     target_p = prep(target)
 
     out = pl.pallas_call(
-        functools.partial(_reproj_kernel, n_channels=c),
+        functools.partial(_reproj_kernel, n_channels=c, band=band),
         out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
-        grid=(n,),
+        grid=(n, h // band, c),
         in_specs=[
-            pl.BlockSpec((1, c, h + 2, w + 2), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, h + 2, w + 2), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, band, w), lambda i, j, k: (i, j, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((band + 2, w + 2), jnp.float32),
+            pltpu.VMEM((band + 2, w + 2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
     )(pred_p, target_p)
     return out[..., None]
