@@ -348,7 +348,8 @@ def make_eval_step(model, cfg: StepConfig):
                     rng, batch, out2, scales=cfg.scales, frame_ids=cfg.frame_ids,
                     disparity_smoothness=cfg.disparity_smoothness, no_ssim=cfg.no_ssim,
                     avg_reprojection=cfg.avg_reprojection,
-                    disable_automasking=cfg.disable_automasking)
+                    disable_automasking=cfg.disable_automasking,
+                    fused_pred=True)  # eval-only: no grads through the kernel
                 metrics["monodepth_loss"] = losses["loss"]
             else:
                 test_out = model.apply(

@@ -48,18 +48,21 @@ def _reproj_kernel(pred_hbm, target_hbm, out_ref, xb, yb, sems,
     plane = n_i * n_channels + ci
     row0 = band_j * band
 
+    # DMA row slices must be 8-aligned in the sublane dim: fetch band+8 rows
+    # (the array is bottom-padded accordingly) and use the first band+2.
     cp_x = pltpu.make_async_copy(
-        pred_hbm.at[plane, pl.ds(row0, band + 2)], xb, sems.at[0])
+        pred_hbm.at[plane, pl.ds(row0, band + 8)], xb, sems.at[0])
     cp_y = pltpu.make_async_copy(
-        target_hbm.at[plane, pl.ds(row0, band + 2)], yb, sems.at[1])
+        target_hbm.at[plane, pl.ds(row0, band + 8)], yb, sems.at[1])
     cp_x.start()
     cp_y.start()
     cp_x.wait()
     cp_y.wait()
 
-    x = xb[...].astype(jnp.float32)
-    y = yb[...].astype(jnp.float32)
-    h, w = band, x.shape[1] - 2
+    w = out_ref.shape[2]
+    x = xb[: band + 2, : w + 2].astype(jnp.float32)
+    y = yb[: band + 2, : w + 2].astype(jnp.float32)
+    h = band
 
     mu_x = _window_sum9(x) / 9.0
     mu_y = _window_sum9(y) / 9.0
@@ -97,10 +100,15 @@ def fused_reprojection_error(pred: jnp.ndarray, target: jnp.ndarray,
         band //= 2
     band = max(band, 1)
 
+    # DMA tiling: rows 8-aligned, lanes 128-aligned
+    w_pad = -(-(w + 2) // 128) * 128
+
     def prep(x):
         x = jnp.pad(x.astype(jnp.float32),
                     [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
-        return x.transpose(0, 3, 1, 2).reshape(n * c, h + 2, w + 2)
+        # extra bottom rows / right lanes so every DMA stays aligned+in bounds
+        x = jnp.pad(x, [(0, 0), (0, 6), (0, w_pad - (w + 2)), (0, 0)])
+        return x.transpose(0, 3, 1, 2).reshape(n * c, h + 8, w_pad)
 
     pred_p = prep(pred)
     target_p = prep(target)
@@ -116,8 +124,8 @@ def fused_reprojection_error(pred: jnp.ndarray, target: jnp.ndarray,
         out_specs=pl.BlockSpec((1, band, w), lambda i, j, k: (i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((band + 2, w + 2), jnp.float32),
-            pltpu.VMEM((band + 2, w + 2), jnp.float32),
+            pltpu.VMEM((band + 8, w_pad), jnp.float32),
+            pltpu.VMEM((band + 8, w_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -39,8 +39,17 @@ def key_of(name: str, *idx) -> str:
     return "_".join([name, *[str(i) for i in idx]])
 
 
-def reprojection_loss(pred: jnp.ndarray, target: jnp.ndarray, no_ssim: bool = False) -> jnp.ndarray:
-    """Per-pixel reprojection error (N, H, W, 1). Reference monodepth_loss.py:104-116."""
+def reprojection_loss(pred: jnp.ndarray, target: jnp.ndarray, no_ssim: bool = False,
+                      fused: bool = False) -> jnp.ndarray:
+    """Per-pixel reprojection error (N, H, W, 1). Reference monodepth_loss.py:104-116.
+
+    `fused=True` uses the banded Pallas kernel (TPU only; no VJP — valid only
+    on paths that are not differentiated, e.g. identity reprojection or eval).
+    """
+    if fused and not no_ssim and jax.default_backend() == "tpu":
+        from .pallas import fused_reprojection_error
+
+        return fused_reprojection_error(pred, target)
     l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
     if no_ssim:
         return l1
@@ -97,11 +106,14 @@ def compute_losses(
     no_ssim: bool = False,
     avg_reprojection: bool = False,
     disable_automasking: bool = False,
+    fused_pred: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Min-reprojection photometric loss with automasking + smoothness.
 
     Reference loss/monodepth_loss.py:118-192. Returns dict with per-scale
-    losses and the total under key "loss".
+    losses and the total under key "loss". `fused_pred=True` routes the
+    predicted-reprojection error through the Pallas kernel too (eval-only —
+    the kernel has no VJP).
     """
     losses: Dict[str, jnp.ndarray] = {}
     total_loss = 0.0
@@ -109,11 +121,14 @@ def compute_losses(
 
     # Identity reprojection losses are scale-independent; hoist out of the loop
     # (the reference recomputes them per scale — same math, wasted FLOPs).
+    # They depend only on input frames (never differentiated), so the fused
+    # Pallas kernel is always safe here.
     identity_losses = None
     if not disable_automasking:
         identity_losses = jnp.concatenate(
             [
-                reprojection_loss(inputs[key_of("color", f, 0)], target, no_ssim)
+                reprojection_loss(inputs[key_of("color", f, 0)], target, no_ssim,
+                                  fused=True)
                 for f in frame_ids[1:]
             ],
             axis=-1,
@@ -125,7 +140,8 @@ def compute_losses(
 
         reproj = jnp.concatenate(
             [
-                reprojection_loss(outputs[key_of("color_pred", f, scale)], target, no_ssim)
+                reprojection_loss(outputs[key_of("color_pred", f, scale)], target,
+                                  no_ssim, fused=fused_pred)
                 for f in frame_ids[1:]
             ],
             axis=-1,
