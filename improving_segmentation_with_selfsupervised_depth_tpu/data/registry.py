@@ -59,7 +59,7 @@ def build_loader(cfg: Dict[str, Any], split: str, load_labels: bool = True,
         num_val_samples=cfg.get("num_val_samples"),
         dataset_seed=cfg.get("dataset_seed", 42),
         only_sequences_with_segmentation=cfg.get(
-            "only_sequences_with_segmentation", split == "train"),
+            "only_sequences_with_segmentation", True),
     )
     if cfg["dataset"] == "synthetic" and cfg.get("n_samples"):
         kwargs["n_samples"] = cfg["n_samples"]

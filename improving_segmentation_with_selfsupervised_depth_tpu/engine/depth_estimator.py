@@ -95,7 +95,9 @@ class DepthEstimator:
 
     def _init_model(self, example):
         rng = jax.random.PRNGKey(0)
-        variables = self.model.init({"params": rng, "dropout": rng}, example)
+        # initialize via the pose-free depth path (consumes color_0_0 only)
+        variables = self.model.init({"params": rng, "dropout": rng}, example,
+                                    method=self.model.predict_test_disp)
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
         params, batch_stats = apply_pretraining(
             self.cfg["model"], params, batch_stats,
