@@ -30,6 +30,8 @@ def synthetic_overrides(cfg):
     smoke tests without Cityscapes on disk."""
     smoke_overrides(cfg)
     cfg["data"].update({"dataset": "synthetic", "n_samples": 8, "path": None})
+    if cfg["data"].get("restrict_to_subset"):
+        cfg["data"]["restrict_to_subset"] = {"mode": "random", "n_subset": 4}
     cfg["monodepth_options"].update({"height": 64, "width": 96,
                                      "crop_h": 64, "crop_w": 64})
     cfg["data"].pop("depth_teacher", None)
