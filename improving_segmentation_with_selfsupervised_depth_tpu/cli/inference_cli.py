@@ -98,17 +98,16 @@ class Inference:
             for filename, img, seg, depth in zip(batch["filename"], images, preds, disps):
                 fn = os.path.join(self.logdir, filename)
                 os.makedirs(os.path.dirname(fn), exist_ok=True)
-                Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(fn)
+                stem = fn[:-4] if fn.lower().endswith((".jpg", ".png")) else fn
+                Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
+                    fn if fn.lower().endswith((".jpg", ".png")) else fn + ".png")
                 if depth is not None:
                     Image.fromarray(
                         (np.clip(depth[..., 0], 0, 1) * 255).astype(np.uint8), "L"
-                    ).save(fn.replace(".jpg", "_depth.png").replace(".png", "_depth.png")
-                           if fn.endswith(".jpg") else fn + "_depth.png")
+                    ).save(stem + "_depth.png")
                 if seg is not None:
                     col = self.val_dataset.decode_segmap_tocolor(seg)
-                    Image.fromarray((col * 255).astype(np.uint8)).save(
-                        fn.replace(".jpg", "_label.png") if fn.endswith(".jpg")
-                        else fn + "_label.png")
+                    Image.fromarray((col * 255).astype(np.uint8)).save(stem + "_label.png")
 
 
 def inference_main(cfg: Dict[str, Any]):

@@ -68,6 +68,26 @@ def current_val_interval(cfg: Dict[str, Any], step: int) -> int:
     return intervals[-1][1]
 
 
+def _pad_val_batch(batch: Dict[str, Any], target_n: int) -> Dict[str, Any]:
+    """Pad a ragged validation batch to `target_n` by repeating the last item;
+    padded labels are set to ignore (250) so metrics stay exact."""
+    out = {}
+    n = len(next(iter(batch.values())))
+    pad = target_n - n
+    if pad <= 0:
+        return batch
+    for k, v in batch.items():
+        if k == "filename":
+            out[k] = list(v) + [v[-1]] * pad
+            continue
+        v = np.asarray(v)
+        reps = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+        if k == "lbl":
+            reps[n:] = 250
+        out[k] = reps
+    return out
+
+
 def device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
     """Strip host-only entries and convert to arrays."""
     out = {}
@@ -355,7 +375,14 @@ class Trainer:
         rng = jax.random.PRNGKey(0)
         imgs_to_save = []
         n_imgs = self.cfg["training"].get("n_tensorboard_imgs", 0)
+        vbs = self.cfg["training"].get("val_batch_size",
+                                       self.cfg["training"]["batch_size"])
         for batch in self.val_loader:
+            n_real = len(next(iter(batch.values())))
+            if self.mesh is not None and n_real % self.mesh.devices.size != 0:
+                # pad the ragged last batch to a shardable size; padded rows
+                # carry lbl=ignore so the confusion matrix is unaffected
+                batch = _pad_val_batch(batch, vbs)
             metrics, conf, aux = self.eval_step(self.state, self._put(batch), rng)
             loss_meter.update({k: float(v) for k, v in metrics.items()})
             running.update_matrix(np.asarray(conf))
