@@ -272,6 +272,7 @@ class Trainer:
 
         loss_meter = AverageMeterDict()
         time_meter = AverageMeter()
+        pending_metrics = []
         step = self.start_iter
         flag = True
         start_ts = time.time()
@@ -302,12 +303,17 @@ class Trainer:
 
                 debug = {k: metrics.pop(k) for k in list(metrics) if k.startswith("debug/")}
                 time_meter.update(time.time() - start_ts)
-                loss_meter.update({k: float(v) for k, v in metrics.items()})
+                # keep metrics on device — float() would force a sync per step
+                # and stall the dispatch pipeline; convert at print_interval
+                pending_metrics.append(metrics)
 
                 if debug and (step + 1) % print_interval == 0:
                     self._dump_mix_debug(debug, step)
 
                 if (step + 1) % print_interval == 0:
+                    for m in pending_metrics:
+                        loss_meter.update({k: float(v) for k, v in m.items()})
+                    pending_metrics = []
                     msg = (f"Iter [{step + 1}/{train_iters}]  "
                            f"Loss: {loss_meter.avgs['total_loss']:.4f}  "
                            f"Time/Image: {time_meter.avg / cfg['training']['batch_size']:.4f}")
