@@ -93,6 +93,8 @@ class SequenceSegmentationDataset:
         only_sequences_with_segmentation: bool = True,
         load_labels: bool = True,
         load_sequence: bool = True,
+        load_color_full: bool = False,
+        color_full_scale: int = 0,
         n_classes: Optional[int] = None,
     ):
         self.root = root
@@ -114,6 +116,11 @@ class SequenceSegmentationDataset:
         self.only_sequences_with_segmentation = only_sequences_with_segmentation
         self.load_labels = load_labels
         self.load_sequence = load_sequence
+        # uncropped full frames for the pose network
+        # (`provide_uncropped_for_pose`; the reference declares but never
+        # produces these keys — implemented properly here)
+        self.load_color_full = load_color_full
+        self.color_full_scale = color_full_scale
         assert self.width >= self.height
 
         if not self.load_sequence:
@@ -230,6 +237,7 @@ class SequenceSegmentationDataset:
         )
 
         frames = {f: self.get_color(index, f, do_flip) for f in self.frame_idxs}
+        full_frames = dict(frames)  # pre-crop views for color_full keys
         lbl = self.get_segmentation(index, do_flip) if self.load_labels else None
         pseudo_depth = self.get_teacher_depth(index, do_flip)
 
@@ -270,6 +278,15 @@ class SequenceSegmentationDataset:
                 item[key_of("color", f, s)] = np.asarray(prev, np.float32) / 255.0
             aug = _apply_color_jitter(img, jitter) if jitter else img
             item[key_of("color_aug", f, 0)] = np.asarray(aug, np.float32) / 255.0
+
+        if self.load_color_full:
+            s = 2**self.color_full_scale
+            for f in self.frame_idxs:
+                full = full_frames[f].resize((self.width // s, self.height // s),
+                                             _ANTIALIAS)
+                item[key_of("color_full", f, 0)] = np.asarray(full, np.float32) / 255.0
+                aug = _apply_color_jitter(full, jitter) if jitter else full
+                item[key_of("color_full_aug", f, 0)] = np.asarray(aug, np.float32) / 255.0
 
         if lbl is not None:
             enc = self.encode_segmap(np.array(lbl, dtype=np.uint8).astype(np.int32))

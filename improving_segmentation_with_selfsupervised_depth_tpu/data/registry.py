@@ -51,6 +51,8 @@ def build_loader(cfg: Dict[str, Any], split: str, load_labels: bool = True,
         crop_w=cfg.get("crop_w"),
         load_labels=load_labels,
         load_sequence=load_sequence,
+        load_color_full=cfg.get("load_color_full", False),
+        color_full_scale=cfg.get("color_full_scale", 0) or 0,
         load_labeled=load_labeled,
         load_unlabeled=load_unlabeled,
         load_onehot=load_onehot or cfg.get("load_onehot", False),

@@ -66,6 +66,9 @@ class SyntheticDataset(SequenceSegmentationDataset):
             item[key_of("color", f, 0)] = img
             item[key_of("color_aug", f, 0)] = np.clip(
                 img + rng.normal(0, 0.01, img.shape).astype(np.float32), 0, 1)
+            if self.load_color_full:
+                item[key_of("color_full", f, 0)] = img
+                item[key_of("color_full_aug", f, 0)] = item[key_of("color_aug", f, 0)]
         for s in range(1, self.num_scales):
             item[key_of("color", 0, s)] = item[key_of("color", 0, 0)][:: 2**s, :: 2**s]
         if self.load_sequence:

@@ -153,6 +153,8 @@ class Trainer:
         data_cfg = dict(cfg["data"])
         if data_cfg.get("dataset_seed") in (None, "same"):
             data_cfg["dataset_seed"] = cfg.get("seed", 42)
+        if cfg["model"].get("provide_uncropped_for_pose", False):
+            data_cfg["load_color_full"] = True
         if not need_offline_depth:
             data_cfg.pop("generated_depth_dir", None)
         # sequence frames only when the photometric loss is on; labels only

@@ -134,3 +134,17 @@ def test_cityscapes_via_registry(fake_cityscapes):
     assert len(val) == 3
     item = val[0]
     assert item["color_0_0"].shape == (256, 512, 3)
+
+
+def test_color_full_keys_for_uncropped_pose(fake_cityscapes):
+    """provide_uncropped_for_pose path: full-frame keys emitted alongside crops
+    (implemented properly here; dormant in the reference)."""
+    ds = CityscapesDataset(
+        root=str(fake_cityscapes), split="train", img_size=(256, 512),
+        crop_h=128, crop_w=128, frame_idxs=(0, -1, 1), num_scales=1,
+        load_color_full=True, augmentations={"color_aug": True},
+    )
+    item = ds[0]
+    assert item["color_0_0"].shape == (128, 128, 3)
+    assert item["color_full_0_0"].shape == (256, 512, 3)
+    assert item["color_full_aug_-1_0"].shape == (256, 512, 3)
