@@ -13,7 +13,6 @@ import numpy as np
 from ..ops.photometric import key_of
 from .base import SequenceSegmentationDataset
 from .cityscapes import decode_segmap_tocolor
-from .utils import restrict_to_subset
 
 
 class SyntheticDataset(SequenceSegmentationDataset):

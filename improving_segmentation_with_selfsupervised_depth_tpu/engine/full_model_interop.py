@@ -25,8 +25,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
-import numpy as np
-
 from .torch_interop import (
     _bn_params,
     _bn_stats,

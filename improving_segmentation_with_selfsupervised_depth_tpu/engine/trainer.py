@@ -34,7 +34,7 @@ from .checkpoints import (
 )
 from .early_stopping import EarlyStopping
 from .optim import build_optimizer
-from .state import create_train_state, ema_model_names
+from .state import create_train_state
 from .train_steps import make_eval_step, make_train_step, step_config_from_cfg
 from .writer import MetricsWriter
 

@@ -11,7 +11,7 @@ import json
 import os
 from copy import deepcopy
 from datetime import datetime
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,7 @@ from ..models import build_model
 from ..engine.checkpoints import apply_pretraining
 from ..ops.losses import pixel_wise_entropy
 from ..ops.photometric import key_of
-from ..utils import get_logger, np_local_seed
+from ..utils import np_local_seed
 from .scoring import (
     calc_feature_distance,
     extract_depth_features,

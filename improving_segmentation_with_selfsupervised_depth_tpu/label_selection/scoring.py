@@ -17,12 +17,9 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-
-from ..ops.losses import pixel_wise_entropy
 
 
 def dilate(mask: jnp.ndarray, kernel_size: int, padding: int) -> jnp.ndarray:

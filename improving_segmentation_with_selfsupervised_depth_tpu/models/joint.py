@@ -24,7 +24,7 @@ names (engine/optim.py), the TPU-native equivalent of requires_grad=False.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from ..ops.resize import resize_bilinear
 from .depth_decoder import DepthDecoder
-from .layers import ConvBNReLU, SelfAttention, kaiming_out
+from .layers import SelfAttention, kaiming_out
 
 
 def _get_layer(encoder_features, decoder_outputs, layer: int):

@@ -19,7 +19,7 @@ fixed-shape XLA programs:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

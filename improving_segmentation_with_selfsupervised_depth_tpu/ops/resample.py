@@ -14,8 +14,6 @@ weights (same subgradient as torch) and to the image through scatter-add.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
