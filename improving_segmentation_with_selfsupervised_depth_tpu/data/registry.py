@@ -40,10 +40,13 @@ def build_loader(cfg: Dict[str, Any], split: str, load_labels: bool = True,
     if split == "train" and cfg.get("restrict_to_subset") is not None:
         restrict_dict = cfg["restrict_to_subset"]
 
+    is_train = split == "train"
     kwargs = dict(
         root=cfg.get("path"),
         split=split,
         img_size=tuple(cfg.get("img_size", (512, 1024))),
+        # val GT may stay at native resolution (reference loader/__init__.py:47)
+        downsample_gt=True if is_train else cfg.get("val_downsample_gt", True),
         frame_idxs=tuple(cfg.get("frame_ids", (0, -1, 1))) if load_sequence else (0,),
         num_scales=cfg.get("num_scales", 4),
         augmentations=(cfg.get("augmentations") if split == "train" else None),
@@ -60,8 +63,11 @@ def build_loader(cfg: Dict[str, Any], split: str, load_labels: bool = True,
         generated_depth_dir=cfg.get("generated_depth_dir"),
         num_val_samples=cfg.get("num_val_samples"),
         dataset_seed=cfg.get("dataset_seed", 42),
-        only_sequences_with_segmentation=cfg.get(
-            "only_sequences_with_segmentation", True),
+        only_sequences_with_segmentation=(
+            cfg.get("only_sequences_with_segmentation", True) if is_train
+            # reference uses a separate (default True) flag for val
+            # (loader/__init__.py:58)
+            else cfg.get("val_only_sequences_with_segmentation", True)),
     )
     if cfg["dataset"] == "synthetic" and cfg.get("n_samples"):
         kwargs["n_samples"] = cfg["n_samples"]
