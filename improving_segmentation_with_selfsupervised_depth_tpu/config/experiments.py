@@ -299,6 +299,9 @@ def generate_experiment_cfgs(base_cfg: Dict[str, Any], id: int) -> List[Dict[str
                     cfg["general"] = {"tag": grid_search([tag])}
                     cfg["model"]["segmentation_name"] = "mtl_pad"
                     cfg["model"]["backbone_name"] = "resnet101"
+                    # PAD + online DepthMix runs 3 student forwards; encoder
+                    # remat keeps the step inside 16G HBM (OOMs without)
+                    cfg["model"]["remat"] = True
                     cfg, _ = decoder_variant(cfg, dec, crop)
                     cfg["model"]["backbone_pretraining"] = mono_pretrain
                     cfg["model"]["variant"] = name
