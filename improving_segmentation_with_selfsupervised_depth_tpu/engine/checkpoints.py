@@ -4,7 +4,10 @@ Counterpart of the reference's pickle checkpoints (train.py:360-410) and
 per-submodule .pth export for SDE transfer (train.py:377-390,
 models/utils.py:18-97):
 
-- full train state -> orbax (TPU-native, sharded-aware) under <dir>/state
+- full train state -> one flax-msgpack file (`best_model.msgpack`) plus a
+  small JSON sidecar; the whole tree is gathered to host — adequate for this
+  model family (params are replicated on the data mesh, tens of MB). If params
+  ever become sharded across hosts, switch this layer to orbax.
 - best_model semantics: saved on new-best mIoU with {step, best_iou}
 - submodule export: depth/pose_encoder/pose[/encoder] as flax msgpack files
   (`depth.msgpack` ...), re-ingested by `load_component_weights` for the

@@ -11,9 +11,8 @@ TPU-native re-design of the reference's torch param-group machinery:
 - LR schedulers (reference utils/schedulers.py) are pure functions
   step -> multiplicative factor; ReduceLROnPlateau is a host-side controller
   whose scale multiplies the update inside the step (engine/state.py lr_scale)
-- optimizer registry mirrors reference utils/optimizers.py:7-29 (asgd maps to
-  sgd: averaged SGD has no optax counterpart and is unused by the reference
-  experiments)
+- optimizer registry mirrors reference utils/optimizers.py:7-29, including
+  asgd with torch.optim.ASGD's live-iterate semantics (`_scale_by_asgd`)
 """
 
 from __future__ import annotations
@@ -152,15 +151,49 @@ def build_lr_factor_fn(sched_cfg: Optional[Dict[str, Any]]) -> Callable[[jnp.nda
 # --------------------------------------------------------------------------
 
 
+def _scale_by_asgd(lr: float, lambd: float, alpha: float) -> optax.GradientTransformation:
+    """torch.optim.ASGD's live-iterate update, as a direction transformation.
+
+    Torch step k (1-indexed): eta_k = lr / (1 + lambd*lr*(k-1))^alpha;
+    param <- param*(1 - lambd*eta_k) - eta_k*grad. The averaged iterate `ax`
+    that torch also maintains is never read by the reference (it applies the
+    optimizer like any other, train.py uses live params throughout), so it is
+    deliberately not materialized — live-parameter trajectories are identical.
+
+    Emits (eta_k/lr)*(grad + lambd*param) so the trailing `-lr*factor` scale in
+    `build_optimizer` produces exactly the torch update (at factor==1).
+    """
+
+    def init_fn(params):
+        del params
+        return {"count": jnp.zeros([], jnp.int32)}
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "asgd requires params"
+        k = state["count"].astype(jnp.float32)
+        eta_over_lr = (1.0 + lambd * lr * k) ** (-alpha)
+        new_updates = jax.tree_util.tree_map(
+            lambda g, p: eta_over_lr * (g + lambd * p), updates, params
+        )
+        return new_updates, {"count": state["count"] + 1}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _optimizer_core(name: str, ocfg: Dict[str, Any]) -> optax.GradientTransformation:
     wd = ocfg.get("weight_decay", 0.0)
     parts = []
     if wd:
         parts.append(optax.add_decayed_weights(wd))  # torch couples L2 into the grad
-    if name == "sgd" or name == "asgd":
+    if name == "sgd":
         momentum = ocfg.get("momentum", 0.0)
         if momentum:
             parts.append(optax.trace(decay=momentum, nesterov=ocfg.get("nesterov", False)))
+    elif name == "asgd":
+        parts.append(_scale_by_asgd(
+            lr=ocfg.get("lr", 0.01), lambd=ocfg.get("lambd", 1e-4),
+            alpha=ocfg.get("alpha", 0.75),
+        ))
     elif name == "adam":
         b1, b2 = ocfg.get("betas", (0.9, 0.999))
         parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=ocfg.get("eps", 1e-8)))

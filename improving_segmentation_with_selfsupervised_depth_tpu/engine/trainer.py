@@ -382,7 +382,9 @@ class Trainer:
         running = RunningScore(self.n_classes)
         rng = jax.random.PRNGKey(0)
         imgs_to_save = []
-        n_imgs = self.cfg["training"].get("n_tensorboard_imgs", 0)
+        # every reference config sets 20 and the reference trainer requires the
+        # key (train.py:887) — default to the reference's effective behavior
+        n_imgs = self.cfg["training"].get("n_tensorboard_imgs", 20)
         vbs = self.cfg["training"].get("val_batch_size",
                                        self.cfg["training"]["batch_size"])
         for batch in self.val_loader:

@@ -23,9 +23,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """Place a host batch dict on the mesh, sharded along the leading axis."""
+    """Place a host batch dict on the mesh, sharded along the leading axis.
+
+    Single-process meshes use a plain `device_put` of the full batch.
+    On multi-host meshes (a v5p/v5e pod slice with one process per host) each
+    process passes only ITS batch rows — the per-host shard of the global
+    batch — and `jax.make_array_from_process_local_data` assembles the global
+    sharded array without ever materializing the full batch on one host.
+    """
     sh = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+    def put(x):
+        local = np.asarray(x)
+        global_shape = (local.shape[0] * jax.process_count(), *local.shape[1:])
+        return jax.make_array_from_process_local_data(sh, local, global_shape)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

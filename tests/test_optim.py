@@ -147,3 +147,27 @@ def test_ema_model_names_variants():
     assert ema_model_names({"save_monodepth_ema": True}, {}) == (
         "depth", "pose", "pose_encoder", "encoder")
     assert ema_model_names({}, {}) is None
+
+
+def test_asgd_matches_torch():
+    # torch.optim.ASGD live-iterate parity (reference utils/optimizers.py:7-29
+    # maps "asgd" to torch ASGD); the averaged iterate ax is never consumed by
+    # the reference so only the live params must match.
+    w0 = np.random.default_rng(4).standard_normal((6,)).astype(np.float32)
+    g = np.random.default_rng(5).standard_normal((6,)).astype(np.float32)
+
+    tw = torch.tensor(w0, requires_grad=True)
+    opt = torch.optim.ASGD([tw], lr=0.05, lambd=1e-2, alpha=0.75,
+                           weight_decay=0.001)
+    for _ in range(6):
+        tw.grad = torch.tensor(g)
+        opt.step()
+
+    params = {"depth": {"w": jnp.asarray(w0)}}
+    grads = {"depth": {"w": jnp.asarray(g)}}
+    cfg = {"optimizer": {"name": "asgd", "lr": 0.05, "lambd": 1e-2,
+                         "alpha": 0.75, "weight_decay": 0.001},
+           "lr_schedule": None}
+    p = _run_jax_sgd(cfg, {}, params, grads, 6)
+    np.testing.assert_allclose(np.asarray(p["depth"]["w"]), tw.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
