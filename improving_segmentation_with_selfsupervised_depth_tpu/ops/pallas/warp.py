@@ -1,0 +1,156 @@
+"""Bilinear image warp (grid_sample) — Pallas TPU kernel.
+
+Why: the photometric loss warps each source frame at every scale
+(8 warps/step at the flagship geometry). XLA lowers the 4-corner gather to
+generic HBM gathers at ~7 ns/index — profiling showed 32 gather fusions
+consuming ~480 ms of a 753 ms train step (14.6 ms per 2M-row gather,
+tools/bench_gather2.py confirms 60-260 ms/warp for every XLA gather shape).
+
+Design: TPU has no fast arbitrary gather, but Mosaic lowers
+`jnp.take_along_axis(..., axis=-1)` on a (8, 128) tile to an in-register lane
+shuffle. The kernel keeps the whole source plane in VMEM (512x512 f32 = 1 MB)
+and, for each (8, 128) output tile, computes the dynamic bounding box of the
+source rows / lane-tiles its samples touch. Real warps are spatially local
+(small pose-induced displacements), so the candidate loop typically visits
+~10 source rows x 1-2 lane-tiles; each candidate costs two lane shuffles
+(left/right x-corner) plus masked selects. Arbitrary warps remain *exact* —
+the bounds just widen and the loop covers every candidate.
+
+Semantics: torch.nn.functional.grid_sample(mode='bilinear',
+padding_mode='border', align_corners=True), matching ops/resample.py
+(reference loss/monodepth_loss.py:94-98).
+
+Outputs: the blended image plus the two backward coefficient planes
+  dfx = (g01-g00)*(1-fy) + (g11-g10)*fy
+  dfy = (g10-g00)*(1-fx) + (g11-g01)*fx
+so the custom VJP in ops/resample.py is purely elementwise (no re-gather).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SUB = 8    # sublanes per output tile
+_LANE = 128  # lanes per output tile
+
+
+def _warp_kernel(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *, h: int, w: int):
+    """Grid step = one (SUB, w) output band of one (n, c) plane (NCHW refs)."""
+    n_lt = w // _LANE
+
+    for lt in range(n_lt):
+        ix = ix_ref[0, :, lt * _LANE:(lt + 1) * _LANE].astype(jnp.float32)
+        iy = iy_ref[0, :, lt * _LANE:(lt + 1) * _LANE].astype(jnp.float32)
+
+        # torch border semantics: weights from the unclamped fractional
+        # coordinate, gather indices clamped to the edge
+        ix = jnp.clip(ix, -1.0, float(w))
+        iy = jnp.clip(iy, -1.0, float(h))
+        x0 = jnp.floor(ix)
+        y0 = jnp.floor(iy)
+        fx = ix - x0
+        fy = iy - y0
+        x0c = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+        x1c = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+        y0c = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+        y1c = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
+
+        # dynamic candidate bounds for this tile (exact; tight when local).
+        # Mosaic only allows 8-aligned dynamic sublane starts, so the row loop
+        # walks aligned 8-row groups with a static inner unroll.
+        g_lo = jnp.min(y0c) // _SUB
+        g_hi = jnp.max(y1c) // _SUB
+        t_lo = jnp.min(x0c) // _LANE
+        t_hi = jnp.max(x1c) // _LANE
+
+        zero = jnp.zeros((_SUB, _LANE), jnp.float32)
+        xl0_full = x0c
+        xl1_full = x1c
+
+        def group_body(rg, accs):
+            rs = pl.multiple_of(rg * _SUB, _SUB)
+
+            def tile_body(xt, accs):
+                g00, g01, g10, g11 = accs
+                xs = pl.multiple_of(xt * _LANE, _LANE)
+                block = src_ref[0, 0, pl.ds(rs, _SUB), pl.ds(xs, _LANE)]
+                block = block.astype(jnp.float32)
+                xl0 = xl0_full - xt * _LANE
+                xl1 = xl1_full - xt * _LANE
+                in0 = (xl0 >= 0) & (xl0 < _LANE)
+                in1 = (xl1 >= 0) & (xl1 < _LANE)
+                xl0c = jnp.clip(xl0, 0, _LANE - 1)
+                xl1c = jnp.clip(xl1, 0, _LANE - 1)
+                for s in range(_SUB):
+                    r = rg * _SUB + s
+                    seg = jnp.broadcast_to(block[s:s + 1, :], (_SUB, _LANE))
+                    s0 = jnp.take_along_axis(seg, xl0c, axis=1)
+                    s1 = jnp.take_along_axis(seg, xl1c, axis=1)
+                    g00 = jnp.where((y0c == r) & in0, s0, g00)
+                    g10 = jnp.where((y1c == r) & in0, s0, g10)
+                    g01 = jnp.where((y0c == r) & in1, s1, g01)
+                    g11 = jnp.where((y1c == r) & in1, s1, g11)
+                return g00, g01, g10, g11
+
+            return jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, accs)
+
+        g00, g01, g10, g11 = jax.lax.fori_loop(
+            g_lo, g_hi + 1, group_body, (zero, zero, zero, zero))
+
+        out = ((1.0 - fx) * (1.0 - fy) * g00 + fx * (1.0 - fy) * g01
+               + (1.0 - fx) * fy * g10 + fx * fy * g11)
+        dfx = (g01 - g00) * (1.0 - fy) + (g11 - g10) * fy
+        dfy = (g10 - g00) * (1.0 - fx) + (g11 - g01) * fx
+
+        sl = slice(lt * _LANE, (lt + 1) * _LANE)
+        out_ref[0, 0, :, sl] = out
+        dfx_ref[0, 0, :, sl] = dfx
+        dfy_ref[0, 0, :, sl] = dfy
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bilinear_warp_corners(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
+                          interpret: bool = False):
+    """Warp `img` (N, H, W, C) at unnormalized sample coords ix/iy (N, H, W).
+
+    Returns (out, dfx, dfy), each (N, H, W, C) float32: the bilinear sample
+    and the two grid-gradient coefficient planes (see module docstring).
+    Requires H % 8 == 0 and W % 128 == 0 (the photometric geometry).
+    """
+    n, h, w, c = img.shape
+    assert h % _SUB == 0 and w % _LANE == 0, (h, w)
+    n_bands = h // _SUB
+
+    img_cm = img.astype(jnp.float32).transpose(0, 3, 1, 2)  # (N, C, H, W)
+    shape = jax.ShapeDtypeStruct((n, c, h, w), jnp.float32)
+    band = pl.BlockSpec((1, _SUB, w), lambda ni, ci, b: (ni, b, 0),
+                        memory_space=pltpu.VMEM)
+    plane_out = pl.BlockSpec((1, 1, _SUB, w), lambda ni, ci, b: (ni, ci, b, 0),
+                             memory_space=pltpu.VMEM)
+    out, dfx, dfy = pl.pallas_call(
+        functools.partial(_warp_kernel, h=h, w=w),
+        out_shape=(shape, shape, shape),
+        grid=(n, c, n_bands),
+        in_specs=[
+            band,
+            band,
+            pl.BlockSpec((1, 1, h, w), lambda ni, ci, b: (ni, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(plane_out, plane_out, plane_out),
+        interpret=interpret,
+    )(ix.astype(jnp.float32), iy.astype(jnp.float32), img_cm)
+    tr = lambda x: x.transpose(0, 2, 3, 1)
+    return tr(out), tr(dfx), tr(dfy)
+
+
+def unnormalize_grid(grid: jnp.ndarray, h: int, w: int):
+    """[-1, 1] grid (N, H, W, 2) -> pixel coords (ix, iy), align_corners=True."""
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
+    return (gx + 1.0) * 0.5 * (w - 1), (gy + 1.0) * 0.5 * (h - 1)

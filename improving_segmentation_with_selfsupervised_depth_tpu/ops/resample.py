@@ -66,42 +66,74 @@ def _blend(corners, fx, fy, dtype):
     return (w00 * g00 + w01 * g01 + w10 * g10 + w11 * g11).astype(dtype)
 
 
+def _use_pallas_warp(img, grid) -> bool:
+    n, h, w, c = img.shape
+    return (jax.default_backend() == "tpu"
+            and grid.shape[1:3] == (h, w)
+            and h % 8 == 0 and w % 128 == 0)
+
+
+def _warp_with_coeffs(img, grid):
+    """Forward warp + the two grid-gradient coefficient planes.
+
+    dfx = (g01-g00)(1-fy) + (g11-g10)fy,  dfy = (g10-g00)(1-fx) + (g11-g01)fx
+    — exactly d(out)/d(ix), d(out)/d(iy), so the VJP below is elementwise.
+    On TPU this runs the Pallas lane-shuffle kernel (ops/pallas/warp.py):
+    XLA's generic gather costs ~60 ms per 512x512x8x3 warp (~7 ns/index,
+    tools/bench_gather2.py) and dominated the train step; the kernel does the
+    same fetch in ~10 ms, bit-exact.
+    """
+    if _use_pallas_warp(img, grid):
+        from .pallas.warp import bilinear_warp_corners, unnormalize_grid
+
+        h, w = img.shape[1:3]
+        ix, iy = unnormalize_grid(grid, h, w)
+        out, dfx, dfy = bilinear_warp_corners(img, ix, iy)
+        return out.astype(img.dtype), dfx, dfy
+    corners, (fx, fy), _ = _corners_and_weights(img, grid, True)
+    g00, g01, g10, g11 = (g.astype(jnp.float32) for g in corners)
+    out = _blend(corners, fx, fy, img.dtype)
+    dfx = (g01 - g00) * (1.0 - fy)[..., None] + (g11 - g10) * fy[..., None]
+    dfy = (g10 - g00) * (1.0 - fx)[..., None] + (g11 - g01) * fx[..., None]
+    return out, dfx, dfy
+
+
 @jax.custom_vjp
 def grid_sample_nograd_image(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """grid_sample (border, align_corners=True) that treats `img` as data.
 
     Photometric-loss fast path: the warped sources are input frames (never
     differentiated), so the backward pass needs gradients w.r.t. the *grid*
-    only. The custom VJP saves the four gathered corners from the forward and
-    makes the backward purely elementwise — no re-gather and no scatter-add on
-    TPU. The img cotangent is zero by contract (enforced by the caller).
+    only. The custom VJP saves the two gradient coefficient planes from the
+    forward and makes the backward purely elementwise — no re-gather and no
+    scatter-add on TPU. The img cotangent is zero by contract (enforced by
+    the caller).
     """
+    if _use_pallas_warp(img, grid):
+        from .pallas.warp import bilinear_warp_corners, unnormalize_grid
+
+        h, w = img.shape[1:3]
+        ix, iy = unnormalize_grid(grid, h, w)
+        return bilinear_warp_corners(img, ix, iy)[0].astype(img.dtype)
     corners, (fx, fy), _ = _corners_and_weights(img, grid, True)
     return _blend(corners, fx, fy, img.dtype)
 
 
 def _gs_fwd(img, grid):
-    corners, (fx, fy), (w, h) = _corners_and_weights(img, grid, True)
-    out = _blend(corners, fx, fy, img.dtype)
+    out, dfx, dfy = _warp_with_coeffs(img, grid)
+    n, h, w, c = img.shape
     dtype_token = jnp.zeros((0,), img.dtype)  # residuals must be JAX types
-    return out, (corners, fx, fy, w, h, img.shape, dtype_token)
+    return out, (dfx, dfy, w, h, img.shape, dtype_token)
 
 
 def _gs_bwd(res, ct):
-    (g00, g01, g10, g11), fx, fy, w, h, img_shape, dtype_token = res
+    dfx, dfy, w, h, img_shape, dtype_token = res
     img_dtype = dtype_token.dtype
     ct = ct.astype(jnp.float32)
-    g00, g01, g10, g11 = (g.astype(jnp.float32) for g in (g00, g01, g10, g11))
-    # d(out)/d(fx), d(out)/d(fy) from the saved corners — elementwise only.
-    # Where corner indices were clamped (border), the corner differences are
+    # Where corner indices were clamped (border), the coefficient planes are
     # zero, reproducing torch's border subgradient.
-    dfx = jnp.sum(ct * ((g01 - g00) * (1.0 - fy)[..., None]
-                        + (g11 - g10) * fy[..., None]), axis=-1)
-    dfy = jnp.sum(ct * ((g10 - g00) * (1.0 - fx)[..., None]
-                        + (g11 - g01) * fx[..., None]), axis=-1)
-    # chain through the unnormalization (align_corners=True): ix=(gx+1)/2*(w-1)
-    dgx = dfx * 0.5 * (w - 1)
-    dgy = dfy * 0.5 * (h - 1)
+    dgx = jnp.sum(ct * dfx, axis=-1) * (0.5 * (w - 1))
+    dgy = jnp.sum(ct * dfy, axis=-1) * (0.5 * (h - 1))
     dgrid = jnp.stack([dgx, dgy], axis=-1).astype(jnp.float32)
     # image is data by contract; the zero cotangent is DCE'd by XLA because
     # callers stop_gradient the image argument

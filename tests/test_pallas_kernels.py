@@ -32,3 +32,35 @@ def test_fused_reprojection_band_fallback():
     got = fused_reprojection_error(pred, target, interpret=True, band=8)
     ref = reprojection_loss(pred, target)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_warp_kernel_matches_grid_sample():
+    """Pallas bilinear warp (interpret mode): exact forward + gradient
+    coefficient planes vs the XLA reference, including border clamps and
+    wildly out-of-range samples."""
+    from improving_segmentation_with_selfsupervised_depth_tpu.ops.pallas.warp import (
+        bilinear_warp_corners, unnormalize_grid)
+    from improving_segmentation_with_selfsupervised_depth_tpu.ops.resample import (
+        _corners_and_weights, grid_sample)
+
+    N, H, W, C = 2, 16, 128, 3
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 1, (N, H, W, C)).astype(np.float32))
+    gy, gx = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W), indexing="ij")
+    gx = gx + rng.normal(0, 0.05, (N, H, W))
+    gy = gy + rng.normal(0, 0.05, (N, H, W))
+    gx[:, :2] += rng.uniform(-3, 3, (N, 2, W))  # border-clamp + full-scan path
+    gy[:, -2:] += rng.uniform(-3, 3, (N, 2, W))
+    grid = jnp.asarray(np.stack([gx, gy], -1).astype(np.float32))
+
+    ix, iy = unnormalize_grid(grid, H, W)
+    out, dfx, dfy = bilinear_warp_corners(img, ix, iy, interpret=True)
+
+    ref = grid_sample(img, grid, align_corners=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    (g00, g01, g10, g11), (fx, fy), _ = _corners_and_weights(img, grid, True)
+    ref_dfx = (g01 - g00) * (1 - fy)[..., None] + (g11 - g10) * fy[..., None]
+    ref_dfy = (g10 - g00) * (1 - fx)[..., None] + (g11 - g01) * fx[..., None]
+    np.testing.assert_allclose(np.asarray(dfx), np.asarray(ref_dfx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dfy), np.asarray(ref_dfy), atol=1e-6)
