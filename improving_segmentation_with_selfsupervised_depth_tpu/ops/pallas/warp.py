@@ -20,6 +20,16 @@ Semantics: torch.nn.functional.grid_sample(mode='bilinear',
 padding_mode='border', align_corners=True), matching ops/resample.py
 (reference loss/monodepth_loss.py:94-98).
 
+Loop structure (measured in-step on v5e, bs8 512^2): dynamic fori over
+8-row source groups x dynamic fori over lane-tiles, 8-row static unroll
+inside. Two tried variants are strictly worse: statically unrolling the
+lane-tile loop (8.6 vs 9.8 ms/warp isolated but 671 vs 629 ms in-step — real
+rough grids have x-span ~2 of 4 tiles, so the extra masked shuffles outweigh
+the saved loop setups) and a batch-in-sublanes layout (one output row of 8
+images per vreg; 3x slower — it forfeits the amortization of one
+broadcast+shuffle pair per candidate source row across the 8 output rows of
+a tile).
+
 Outputs: the blended image plus the two backward coefficient planes
   dfx = (g01-g00)*(1-fy) + (g11-g10)*fy
   dfy = (g10-g00)*(1-fx) + (g11-g01)*fx

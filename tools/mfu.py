@@ -55,8 +55,9 @@ cfg = StepConfig(monodepth_lambda=1.0, segmentation_lambda=1.0,
 step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
 rng = jax.random.PRNGKey(0)
 
-lowered = step.lower(state, batch, None, rng)
-compiled = lowered.compile()
+# AOT: the compiled executable serves cost analysis AND execution (calling
+# the jitted fn after .lower().compile() would trigger a second full compile)
+compiled = step.lower(state, batch, None, rng).compile()
 ca = compiled.cost_analysis()
 if isinstance(ca, list):
     ca = ca[0]
@@ -66,12 +67,12 @@ print(f"cost_analysis flops: {flops / 1e12:.3f} TFLOP/step "
       f"({flops / BATCH / 1e9:.1f} GFLOP/img)")
 print(f"cost_analysis bytes accessed: {bytes_acc / 1e9:.2f} GB/step")
 
-state, m = step(state, batch, None, rng)
+state, m = compiled(state, batch, None, rng)
 jax.block_until_ready(m["total_loss"])
 n_steps = 10
 t0 = time.perf_counter()
 for _ in range(n_steps):
-    state, m = step(state, batch, None, rng)
+    state, m = compiled(state, batch, None, rng)
 jax.block_until_ready(m["total_loss"])
 dt = (time.perf_counter() - t0) / n_steps
 
