@@ -8,27 +8,32 @@ tools/bench_gather2.py confirms 60-260 ms/warp for every XLA gather shape).
 
 Design: TPU has no fast arbitrary gather, but Mosaic lowers
 `jnp.take_along_axis(..., axis=-1)` on a (8, 128) tile to an in-register lane
-shuffle. The kernel keeps the whole source plane in VMEM (512x512 f32 = 1 MB)
-and, for each (8, 128) output tile, computes the dynamic bounding box of the
-source rows / lane-tiles its samples touch. Real warps are spatially local
-(small pose-induced displacements), so the candidate loop typically visits
-~10 source rows x 1-2 lane-tiles; each candidate costs two lane shuffles
-(left/right x-corner) plus masked selects. Arbitrary warps remain *exact* —
-the bounds just widen and the loop covers every candidate.
+shuffle. The kernel keeps the source plane in VMEM and, for each (8, 128)
+output tile, computes the dynamic bounding box of the source rows/lane-tiles
+its samples touch; each candidate source row costs one broadcast and two lane
+shuffles (left/right x-corner) whose output covers the whole tile. Arbitrary
+warps stay *exact* in indexing — wide scatter (random-init depth) just widens
+the candidate loop.
+
+Channel packing: pixel values are carried as bf16 PAIRS packed into 32-bit
+lanes (channels padded to even count), so one shuffle+select chain fetches
+two channels at once — ~1.8x less inner-loop work. Corner values are
+therefore bf16; the reference itself warps in fp16 under torch.cuda.amp
+(monodepth configs set amp: true and autocast covers F.grid_sample), and the
+photometric loss consumes image values in [0, 1] where bf16 holds ~3
+significant digits. The sampling indices and all blending/gradient math stay
+f32. The XLA fallback path in ops/resample.py remains full f32.
+
+Loop structure (measured in-step on v5e, bs8 512^2): dynamic fori over 8-row
+source groups x dynamic fori over lane-tiles, 8-row static unroll inside.
+Variants tried and rejected: statically unrolled lane-tile loop (faster
+isolated, slower in-step — real rough grids have x-span ~2 of 4 tiles);
+batch-in-sublanes layout (3x slower: it forfeits the one-shuffle-per-
+candidate-row amortization across the tile's 8 output rows).
 
 Semantics: torch.nn.functional.grid_sample(mode='bilinear',
 padding_mode='border', align_corners=True), matching ops/resample.py
 (reference loss/monodepth_loss.py:94-98).
-
-Loop structure (measured in-step on v5e, bs8 512^2): dynamic fori over
-8-row source groups x dynamic fori over lane-tiles, 8-row static unroll
-inside. Two tried variants are strictly worse: statically unrolling the
-lane-tile loop (8.6 vs 9.8 ms/warp isolated but 671 vs 629 ms in-step — real
-rough grids have x-span ~2 of 4 tiles, so the extra masked shuffles outweigh
-the saved loop setups) and a batch-in-sublanes layout (one output row of 8
-images per vreg; 3x slower — it forfeits the amortization of one
-broadcast+shuffle pair per candidate source row across the 8 output rows of
-a tile).
 
 Outputs: the blended image plus the two backward coefficient planes
   dfx = (g01-g00)*(1-fy) + (g11-g10)*fy
@@ -45,12 +50,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SUB = 8    # sublanes per output tile
+_SUB = 8     # sublanes per output tile
 _LANE = 128  # lanes per output tile
 
 
+def _unpack_pair(g: jnp.ndarray):
+    """int32 (8,128) holding two packed bf16 -> two f32 (8,128) planes.
+
+    bf16 -> f32 is a pure bit shift into the high half; pair slot 0 is the
+    low 16 bits (little-endian packing by bitcast_convert_type).
+    """
+    lo = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(g & jnp.int32(-65536), jnp.float32)
+    return lo, hi
+
+
 def _warp_kernel(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *, h: int, w: int):
-    """Grid step = one (SUB, w) output band of one (n, c) plane (NCHW refs)."""
+    """Grid step = one (SUB, w) output band of one (n, channel-pair) plane.
+
+    src_ref: (1, 1, h, w) int32 — packed bf16 channel pair.
+    out/dfx/dfy: (1, 2, SUB, w) f32 — the two unpacked channels.
+    """
     n_lt = w // _LANE
 
     for lt in range(n_lt):
@@ -78,9 +98,7 @@ def _warp_kernel(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *, h: int, 
         t_lo = jnp.min(x0c) // _LANE
         t_hi = jnp.max(x1c) // _LANE
 
-        zero = jnp.zeros((_SUB, _LANE), jnp.float32)
-        xl0_full = x0c
-        xl1_full = x1c
+        zero = jnp.zeros((_SUB, _LANE), jnp.int32)
 
         def group_body(rg, accs):
             rs = pl.multiple_of(rg * _SUB, _SUB)
@@ -89,11 +107,14 @@ def _warp_kernel(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *, h: int, 
                 g00, g01, g10, g11 = accs
                 xs = pl.multiple_of(xt * _LANE, _LANE)
                 block = src_ref[0, 0, pl.ds(rs, _SUB), pl.ds(xs, _LANE)]
-                block = block.astype(jnp.float32)
-                xl0 = xl0_full - xt * _LANE
-                xl1 = xl1_full - xt * _LANE
-                in0 = (xl0 >= 0) & (xl0 < _LANE)
-                in1 = (xl1 >= 0) & (xl1 < _LANE)
+                xl0 = x0c - xt * _LANE
+                xl1 = x1c - xt * _LANE
+                # fold the in-tile test into the row key: out-of-tile lanes
+                # get key -1 which never matches a row index
+                key0 = jnp.where((xl0 >= 0) & (xl0 < _LANE), y0c, -1)
+                key0b = jnp.where((xl0 >= 0) & (xl0 < _LANE), y1c, -1)
+                key1 = jnp.where((xl1 >= 0) & (xl1 < _LANE), y0c, -1)
+                key1b = jnp.where((xl1 >= 0) & (xl1 < _LANE), y1c, -1)
                 xl0c = jnp.clip(xl0, 0, _LANE - 1)
                 xl1c = jnp.clip(xl1, 0, _LANE - 1)
                 for s in range(_SUB):
@@ -101,10 +122,10 @@ def _warp_kernel(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *, h: int, 
                     seg = jnp.broadcast_to(block[s:s + 1, :], (_SUB, _LANE))
                     s0 = jnp.take_along_axis(seg, xl0c, axis=1)
                     s1 = jnp.take_along_axis(seg, xl1c, axis=1)
-                    g00 = jnp.where((y0c == r) & in0, s0, g00)
-                    g10 = jnp.where((y1c == r) & in0, s0, g10)
-                    g01 = jnp.where((y0c == r) & in1, s1, g01)
-                    g11 = jnp.where((y1c == r) & in1, s1, g11)
+                    g00 = jnp.where(key0 == r, s0, g00)
+                    g10 = jnp.where(key0b == r, s0, g10)
+                    g01 = jnp.where(key1 == r, s1, g01)
+                    g11 = jnp.where(key1b == r, s1, g11)
                 return g00, g01, g10, g11
 
             return jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, accs)
@@ -112,15 +133,17 @@ def _warp_kernel(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *, h: int, 
         g00, g01, g10, g11 = jax.lax.fori_loop(
             g_lo, g_hi + 1, group_body, (zero, zero, zero, zero))
 
-        out = ((1.0 - fx) * (1.0 - fy) * g00 + fx * (1.0 - fy) * g01
-               + (1.0 - fx) * fy * g10 + fx * fy * g11)
-        dfx = (g01 - g00) * (1.0 - fy) + (g11 - g10) * fy
-        dfy = (g10 - g00) * (1.0 - fx) + (g11 - g01) * fx
-
+        w00 = (1.0 - fx) * (1.0 - fy)
+        w01 = fx * (1.0 - fy)
+        w10 = (1.0 - fx) * fy
+        w11 = fx * fy
         sl = slice(lt * _LANE, (lt + 1) * _LANE)
-        out_ref[0, 0, :, sl] = out
-        dfx_ref[0, 0, :, sl] = dfx
-        dfy_ref[0, 0, :, sl] = dfy
+        for slot, pick in ((0, 0), (1, 1)):
+            c00, c01 = _unpack_pair(g00)[pick], _unpack_pair(g01)[pick]
+            c10, c11 = _unpack_pair(g10)[pick], _unpack_pair(g11)[pick]
+            out_ref[0, slot, :, sl] = w00 * c00 + w01 * c01 + w10 * c10 + w11 * c11
+            dfx_ref[0, slot, :, sl] = (c01 - c00) * (1.0 - fy) + (c11 - c10) * fy
+            dfy_ref[0, slot, :, sl] = (c10 - c00) * (1.0 - fx) + (c11 - c01) * fx
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -130,32 +153,41 @@ def bilinear_warp_corners(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
 
     Returns (out, dfx, dfy), each (N, H, W, C) float32: the bilinear sample
     and the two grid-gradient coefficient planes (see module docstring).
-    Requires H % 8 == 0 and W % 128 == 0 (the photometric geometry).
+    Pixel values round through bf16 (channel-pair packing); indices and
+    blending are f32. Requires H % 8 == 0 and W % 128 == 0.
     """
     n, h, w, c = img.shape
     assert h % _SUB == 0 and w % _LANE == 0, (h, w)
     n_bands = h // _SUB
+    cp = c + (c % 2)
+    n_pairs = cp // 2
 
-    img_cm = img.astype(jnp.float32).transpose(0, 3, 1, 2)  # (N, C, H, W)
-    shape = jax.ShapeDtypeStruct((n, c, h, w), jnp.float32)
+    imgb = img.astype(jnp.bfloat16)
+    if cp != c:
+        imgb = jnp.pad(imgb, [(0, 0)] * 3 + [(0, cp - c)])
+    packed = jax.lax.bitcast_convert_type(
+        imgb.reshape(n, h, w, n_pairs, 2), jnp.int32)     # (N, H, W, P)
+    packed = packed.transpose(0, 3, 1, 2)                  # (N, P, H, W)
+
+    shape = jax.ShapeDtypeStruct((n, cp, h, w), jnp.float32)
     band = pl.BlockSpec((1, _SUB, w), lambda ni, ci, b: (ni, b, 0),
                         memory_space=pltpu.VMEM)
-    plane_out = pl.BlockSpec((1, 1, _SUB, w), lambda ni, ci, b: (ni, ci, b, 0),
-                             memory_space=pltpu.VMEM)
+    pair_out = pl.BlockSpec((1, 2, _SUB, w), lambda ni, ci, b: (ni, ci, b, 0),
+                            memory_space=pltpu.VMEM)
     out, dfx, dfy = pl.pallas_call(
         functools.partial(_warp_kernel, h=h, w=w),
         out_shape=(shape, shape, shape),
-        grid=(n, c, n_bands),
+        grid=(n, n_pairs, n_bands),
         in_specs=[
             band,
             band,
             pl.BlockSpec((1, 1, h, w), lambda ni, ci, b: (ni, ci, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(plane_out, plane_out, plane_out),
+        out_specs=(pair_out, pair_out, pair_out),
         interpret=interpret,
-    )(ix.astype(jnp.float32), iy.astype(jnp.float32), img_cm)
-    tr = lambda x: x.transpose(0, 2, 3, 1)
+    )(ix.astype(jnp.float32), iy.astype(jnp.float32), packed)
+    tr = lambda x: x.transpose(0, 2, 3, 1)[..., :c]
     return tr(out), tr(dfx), tr(dfy)
 
 

@@ -56,11 +56,21 @@ def test_warp_kernel_matches_grid_sample():
     ix, iy = unnormalize_grid(grid, H, W)
     out, dfx, dfy = bilinear_warp_corners(img, ix, iy, interpret=True)
 
+    # corners round through bf16 (channel-pair packing, see warp.py docstring;
+    # the reference warps in fp16 under AMP) -> tolerance is bf16 epsilon on
+    # [0,1] values; an indexing bug would show as O(0.1) errors
     ref = grid_sample(img, grid, align_corners=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
 
     (g00, g01, g10, g11), (fx, fy), _ = _corners_and_weights(img, grid, True)
     ref_dfx = (g01 - g00) * (1 - fy)[..., None] + (g11 - g10) * fy[..., None]
     ref_dfy = (g10 - g00) * (1 - fx)[..., None] + (g11 - g01) * fx[..., None]
-    np.testing.assert_allclose(np.asarray(dfx), np.asarray(ref_dfx), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(dfy), np.asarray(ref_dfy), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dfx), np.asarray(ref_dfx), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(dfy), np.asarray(ref_dfy), atol=1e-2)
+
+    # exactness of the *indexing* independent of value precision: warp a bf16-
+    # representable image and require bit-identical output
+    imgq = jnp.asarray(np.asarray(img, np.float32)).astype(jnp.bfloat16).astype(jnp.float32)
+    outq, _, _ = bilinear_warp_corners(imgq, ix, iy, interpret=True)
+    refq = grid_sample(imgq, grid, align_corners=True)
+    np.testing.assert_allclose(np.asarray(outq), np.asarray(refq), atol=1e-6)
