@@ -349,7 +349,7 @@ def make_eval_step(model, cfg: StepConfig):
                     disparity_smoothness=cfg.disparity_smoothness, no_ssim=cfg.no_ssim,
                     avg_reprojection=cfg.avg_reprojection,
                     disable_automasking=cfg.disable_automasking,
-                    fused_pred=True)  # eval-only: no grads through the kernel
+                    fused_pred=True)
                 metrics["monodepth_loss"] = losses["loss"]
             else:
                 test_out = model.apply(

@@ -43,13 +43,15 @@ def reprojection_loss(pred: jnp.ndarray, target: jnp.ndarray, no_ssim: bool = Fa
                       fused: bool = False) -> jnp.ndarray:
     """Per-pixel reprojection error (N, H, W, 1). Reference monodepth_loss.py:104-116.
 
-    `fused=True` uses the banded Pallas kernel (TPU only; no VJP — valid only
-    on paths that are not differentiated, e.g. identity reprojection or eval).
-    """
+    `fused=True` uses the banded Pallas kernel (TPU only) — one read of the
+    inputs instead of XLA's chain of five pools; fully differentiable w.r.t.
+    `pred` via the analytic VJP kernel (target is data in the photometric
+    loss, reference monodepth_loss.py:104-116 warps inputs toward the target
+    frame)."""
     if fused and not no_ssim and jax.default_backend() == "tpu":
-        from .pallas import fused_reprojection_error
+        from .pallas import fused_reprojection_error_diff
 
-        return fused_reprojection_error(pred, target)
+        return fused_reprojection_error_diff(pred, target)
     l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
     if no_ssim:
         return l1
@@ -112,8 +114,12 @@ def compute_losses(
 
     Reference loss/monodepth_loss.py:118-192. Returns dict with per-scale
     losses and the total under key "loss". `fused_pred=True` routes the
-    predicted-reprojection error through the Pallas kernel too (eval-only —
-    the kernel has no VJP).
+    predicted-reprojection error through the differentiable fused Pallas
+    kernel (analytic SSIM+L1 VJP, exact vs autodiff). Measured on v5e it is
+    a wash-to-slight-loss vs XLA's reduce_window chain (full supervised step
+    521 vs 503 ms at bs8 512^2; isolated fwd 3.5 vs 3.4 ms), so the XLA
+    chain stays the default on the gradient path; the identity/eval paths
+    keep the forward kernel.
     """
     losses: Dict[str, jnp.ndarray] = {}
     total_loss = 0.0

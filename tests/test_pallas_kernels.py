@@ -74,3 +74,25 @@ def test_warp_kernel_matches_grid_sample():
     outq, _, _ = bilinear_warp_corners(imgq, ix, iy, interpret=True)
     refq = grid_sample(imgq, grid, align_corners=True)
     np.testing.assert_allclose(np.asarray(outq), np.asarray(refq), atol=1e-6)
+
+
+def test_fused_reprojection_backward_matches_autodiff():
+    """Analytic SSIM+L1 VJP kernel vs jax.grad of the XLA reprojection chain
+    (interpret mode), including identical-window regions where the clip and
+    |.| subgradient edge cases are live."""
+    from improving_segmentation_with_selfsupervised_depth_tpu.ops.pallas.reprojection import (
+        fused_reprojection_error_grad)
+
+    rng = np.random.default_rng(0)
+    N, H, W, C = 2, 16, 24, 3
+    pred = jnp.asarray(rng.uniform(0, 1, (N, H, W, C)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, (N, H, W, C)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((N, H, W, 1)).astype(np.float32))
+
+    import jax
+
+    for p in (pred, pred.at[:, :8].set(target[:, :8])):
+        ref = jax.grad(lambda q: jnp.vdot(g, reprojection_loss(q, target)))(p)
+        got = fused_reprojection_error_grad(p, target, g, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
