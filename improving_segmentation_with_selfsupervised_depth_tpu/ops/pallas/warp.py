@@ -100,23 +100,27 @@ def _warp_kernel(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *, h: int, 
 
         zero = jnp.zeros((_SUB, _LANE), jnp.int32)
 
-        def group_body(rg, accs):
-            rs = pl.multiple_of(rg * _SUB, _SUB)
+        # lane-tile loop OUTER so the per-tile x masks/keys hoist out of the
+        # row loop (carrying bool masks across rows to reuse the y0 compare
+        # for y1 does not legalize in Mosaic's scf.for — explicit r-1
+        # compares instead, which also need no border fix-up)
+        def tile_body(xt, accs):
+            xs = pl.multiple_of(xt * _LANE, _LANE)
+            xl0 = x0c - xt * _LANE
+            xl1 = x1c - xt * _LANE
+            # fold the in-tile test into the row key: out-of-tile lanes get
+            # key -1 which never matches a row index
+            key0 = jnp.where((xl0 >= 0) & (xl0 < _LANE), y0c, -1)
+            key0b = jnp.where((xl0 >= 0) & (xl0 < _LANE), y1c, -1)
+            key1 = jnp.where((xl1 >= 0) & (xl1 < _LANE), y0c, -1)
+            key1b = jnp.where((xl1 >= 0) & (xl1 < _LANE), y1c, -1)
+            xl0c = jnp.clip(xl0, 0, _LANE - 1)
+            xl1c = jnp.clip(xl1, 0, _LANE - 1)
 
-            def tile_body(xt, accs):
+            def group_body(rg, accs):
                 g00, g01, g10, g11 = accs
-                xs = pl.multiple_of(xt * _LANE, _LANE)
+                rs = pl.multiple_of(rg * _SUB, _SUB)
                 block = src_ref[0, 0, pl.ds(rs, _SUB), pl.ds(xs, _LANE)]
-                xl0 = x0c - xt * _LANE
-                xl1 = x1c - xt * _LANE
-                # fold the in-tile test into the row key: out-of-tile lanes
-                # get key -1 which never matches a row index
-                key0 = jnp.where((xl0 >= 0) & (xl0 < _LANE), y0c, -1)
-                key0b = jnp.where((xl0 >= 0) & (xl0 < _LANE), y1c, -1)
-                key1 = jnp.where((xl1 >= 0) & (xl1 < _LANE), y0c, -1)
-                key1b = jnp.where((xl1 >= 0) & (xl1 < _LANE), y1c, -1)
-                xl0c = jnp.clip(xl0, 0, _LANE - 1)
-                xl1c = jnp.clip(xl1, 0, _LANE - 1)
                 for s in range(_SUB):
                     r = rg * _SUB + s
                     seg = jnp.broadcast_to(block[s:s + 1, :], (_SUB, _LANE))
@@ -128,10 +132,10 @@ def _warp_kernel(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *, h: int, 
                     g11 = jnp.where(key1b == r, s1, g11)
                 return g00, g01, g10, g11
 
-            return jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, accs)
+            return jax.lax.fori_loop(g_lo, g_hi + 1, group_body, accs)
 
         g00, g01, g10, g11 = jax.lax.fori_loop(
-            g_lo, g_hi + 1, group_body, (zero, zero, zero, zero))
+            t_lo, t_hi + 1, tile_body, (zero, zero, zero, zero))
 
         w00 = (1.0 - fx) * (1.0 - fy)
         w01 = fx * (1.0 - fy)
