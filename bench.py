@@ -30,6 +30,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+from improving_segmentation_with_selfsupervised_depth_tpu.utils.compile_cache import (
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()
+
 A100_PEAK = 312e12          # A100 bf16 dense peak
 REF_ASSUMED_MFU = 0.12      # see BASELINE.md for the derivation + sensitivity
 V5E_PEAK = 197e12           # v5e bf16 peak per chip

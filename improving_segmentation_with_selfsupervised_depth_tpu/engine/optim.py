@@ -245,7 +245,9 @@ def build_optimizer(
     factor_fn = build_lr_factor_fn(training_cfg.get("lr_schedule"))
 
     labels = build_param_labels(params, model_cfg)
-    present = set(jax.tree_util.tree_leaves(labels))
+    # sorted: set iteration order is hash-randomized per process, which would
+    # reorder the lowered HLO and defeat the persistent compilation cache
+    present = sorted(set(jax.tree_util.tree_leaves(labels)))
 
     transforms = {}
     for grp in present:

@@ -26,6 +26,7 @@ from ..models import build_model
 from ..ops.metrics import AverageMeter, AverageMeterDict, RunningScore
 from ..parallel import data_mesh, jit_eval_step, jit_train_step, replicate, shard_batch
 from ..utils import set_seeds
+from ..utils.compile_cache import enable_persistent_cache
 from .checkpoints import (
     apply_pretraining,
     load_resume,
@@ -533,6 +534,7 @@ def train_main(cfg: Dict[str, Any], run_id: str = "run") -> None:
     """reference train.py:939-963."""
     from ..config import expand_cfg_vars
 
+    enable_persistent_cache()
     MachineConfig(cfg.get("machine", "ws"))
     expand_cfg_vars(cfg)
     log_path = cfg["training"].setdefault(

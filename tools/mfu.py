@@ -9,6 +9,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+from improving_segmentation_with_selfsupervised_depth_tpu.utils.compile_cache import (
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()
+
 from improving_segmentation_with_selfsupervised_depth_tpu.data.synthetic import (
     make_synthetic_batch,
 )
