@@ -178,6 +178,14 @@ def main():
                    depthmix_online_depth=True),
         batch_size=4, with_ema=True)
 
+    # per-workload proxy: the reference's eager pipeline executes the same
+    # TFLOP/img on an A100 at the assumed MFU (BASELINE.md derivation)
+    for r in results.values():
+        if "tflop_per_step" in r:
+            proxy = A100_PEAK * REF_ASSUMED_MFU / (
+                r["tflop_per_step"] * 1e12 / r["batch_size"])
+            r["vs_baseline"] = round(r["imgs_per_sec"] / proxy, 3)
+
     head = results["sde_supervised"]
     ref_imgs_per_sec = A100_PEAK * REF_ASSUMED_MFU / (
         head.get("tflop_per_step", 9.8) * 1e12 / head.get("batch_size", 8))
