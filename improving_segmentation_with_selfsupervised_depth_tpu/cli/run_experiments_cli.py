@@ -19,7 +19,10 @@ from ..label_selection import label_selection_main
 
 
 def run_experiments(base_cfg, exp_id, machine="ws", runs="all", dry=False,
-                    config_name="cityscapes_joint", overrides=None):
+                    config_name="cityscapes_joint", overrides=None, strict=False):
+    """`strict=True` re-raises trial failures instead of the reference's
+    catch-and-continue dispatch — used by smoke/CI runs where a silent trial
+    failure would defeat the check."""
     cfgs = generate_experiment_cfgs(base_cfg, exp_id)
     experiment_name = f"{config_name}_{exp_id}"
     run_id = experiment_name + "_" + datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
@@ -52,6 +55,8 @@ def run_experiments(base_cfg, exp_id, machine="ws", runs="all", dry=False,
                 else:
                     train_main(cfg, run_id=cfg["name"])
             except Exception:
+                if strict:
+                    raise
                 print(traceback.format_exc())
                 print("Continue with next experiment.")
 

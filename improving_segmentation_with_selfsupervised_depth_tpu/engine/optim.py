@@ -151,31 +151,42 @@ def build_lr_factor_fn(sched_cfg: Optional[Dict[str, Any]]) -> Callable[[jnp.nda
 # --------------------------------------------------------------------------
 
 
-def _scale_by_asgd(lr: float, lambd: float, alpha: float) -> optax.GradientTransformation:
-    """torch.optim.ASGD's live-iterate update, as a direction transformation.
+def _asgd_update(lr: float, lambd: float, alpha: float,
+                 factor_fn: Callable) -> optax.GradientTransformation:
+    """torch.optim.ASGD's live-iterate update (sign and lr included).
 
-    Torch step k (1-indexed): eta_k = lr / (1 + lambd*lr*(k-1))^alpha;
-    param <- param*(1 - lambd*eta_k) - eta_k*grad. The averaged iterate `ax`
-    that torch also maintains is never read by the reference (it applies the
-    optimizer like any other, train.py uses live params throughout), so it is
-    deliberately not materialized — live-parameter trajectories are identical.
+    Torch applies the *stored* eta, then recomputes it from the group's
+    current (scheduled) lr:  p <- p*(1 - lambd*eta) - eta*grad;
+    eta <- lr_k / (1 + lambd*lr_k*k)^alpha  with k the 1-indexed step count
+    and lr_k the group lr after any scheduler — reproduced here per group
+    with `lr` the group base lr and `factor_fn` the schedule factor, so
+    multi-group configs (backbone_lr etc.) and lr schedules track torch
+    exactly (eta state starts at the base lr like torch's init).
 
-    Emits (eta_k/lr)*(grad + lambd*param) so the trailing `-lr*factor` scale in
-    `build_optimizer` produces exactly the torch update (at factor==1).
+    The averaged iterate `ax` that torch also maintains is never read by the
+    reference (it applies the optimizer like any other, train.py uses live
+    params throughout), so it is deliberately not materialized —
+    live-parameter trajectories are identical.
+
+    Emits -eta*(grad + lambd*param), i.e. the COMPLETE update; the caller
+    must not add a trailing -lr*schedule scale.
     """
 
     def init_fn(params):
         del params
-        return {"count": jnp.zeros([], jnp.int32)}
+        return {"count": jnp.zeros([], jnp.int32),
+                "eta": jnp.asarray(lr, jnp.float32)}
 
     def update_fn(updates, state, params=None):
         assert params is not None, "asgd requires params"
-        k = state["count"].astype(jnp.float32)
-        eta_over_lr = (1.0 + lambd * lr * k) ** (-alpha)
+        eta = state["eta"]
         new_updates = jax.tree_util.tree_map(
-            lambda g, p: eta_over_lr * (g + lambd * p), updates, params
+            lambda g, p: -eta * (g + lambd * p), updates, params
         )
-        return new_updates, {"count": state["count"] + 1}
+        k = state["count"] + 1
+        lr_k = lr * factor_fn(state["count"])
+        new_eta = lr_k * (1.0 + lambd * lr_k * k.astype(jnp.float32)) ** (-alpha)
+        return new_updates, {"count": k, "eta": new_eta}
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -189,11 +200,6 @@ def _optimizer_core(name: str, ocfg: Dict[str, Any]) -> optax.GradientTransforma
         momentum = ocfg.get("momentum", 0.0)
         if momentum:
             parts.append(optax.trace(decay=momentum, nesterov=ocfg.get("nesterov", False)))
-    elif name == "asgd":
-        parts.append(_scale_by_asgd(
-            lr=ocfg.get("lr", 0.01), lambd=ocfg.get("lambd", 1e-4),
-            alpha=ocfg.get("alpha", 0.75),
-        ))
     elif name == "adam":
         b1, b2 = ocfg.get("betas", (0.9, 0.999))
         parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=ocfg.get("eps", 1e-8)))
@@ -255,6 +261,14 @@ def build_optimizer(
             transforms[grp] = optax.set_to_zero()
             continue
         lr = ocfg.get(_GROUP_LR_KEYS.get(grp, ""), base_lr)
+        if name == "asgd":
+            # asgd owns its lr/sign/schedule (eta state per group)
+            core = _asgd_update(lr=lr, lambd=ocfg.get("lambd", 1e-4),
+                                alpha=ocfg.get("alpha", 0.75), factor_fn=factor_fn)
+            wd = ocfg.get("weight_decay", 0.0)
+            transforms[grp] = (optax.chain(optax.add_decayed_weights(wd), core)
+                               if wd else core)
+            continue
         transforms[grp] = optax.chain(
             _optimizer_core(name, ocfg),
             optax.scale_by_schedule(lambda s, _lr=lr: -_lr * factor_fn(s)),

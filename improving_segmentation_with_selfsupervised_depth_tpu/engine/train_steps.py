@@ -349,6 +349,10 @@ def make_eval_step(model, cfg: StepConfig):
                     disparity_smoothness=cfg.disparity_smoothness, no_ssim=cfg.no_ssim,
                     avg_reprojection=cfg.avg_reprojection,
                     disable_automasking=cfg.disable_automasking,
+                    # eval-only fast path: the fused Pallas reprojection
+                    # kernel; training uses the XLA chain (faster in-step),
+                    # so the val monodepth_loss scalar differs from the
+                    # trained loss by the kernel's bf16 rounding (~1e-3)
                     fused_pred=True)
                 metrics["monodepth_loss"] = losses["loss"]
             else:
@@ -371,6 +375,19 @@ def make_eval_step(model, cfg: StepConfig):
                 apply_log=cfg.pseudo_depth_loss_log)
         else:
             metrics["pseudo_depth_loss"] = jnp.asarray(0.0)
+
+        # ---- depth eval metrics (abs_rel/sq_rel/rms/log_rms/a1-a3) ----
+        # The reference declares these names but never computes them
+        # (loss/monodepth_loss.py:35-36); here they are wired into every
+        # validation pass so depth quality is measurable. Ground truth
+        # priority: a real depth map under "depth_gt" (masked where > 0),
+        # else the offline depth-teacher disparity ("pseudo_depth", compared
+        # in depth units through the same disp_to_depth mapping, hood rows
+        # masked like the pseudo-depth loss).
+        if "disp_0" in outputs:
+            from .trainer_depth_eval import eval_depth_metrics
+
+            metrics.update(eval_depth_metrics(cfg, batch, outputs))
 
         return metrics, conf, aux
 

@@ -225,10 +225,18 @@ class Trainer:
             self.state = self.state.replace(ema_params=init_ema_params(params))
 
         # ---- compiled steps over the device mesh ----
+        from ..ops.resample import configure_warp
+
         devices = jax.devices()
         self.mesh = None
         if len(devices) > 1 and bs % len(devices) == 0:
             self.mesh = data_mesh(devices)
+        # register the warp implementation + mesh BEFORE any step is traced:
+        # on a >1-device mesh the Pallas warp must run under shard_map
+        # (pallas_call has no GSPMD partitioning rule); training.warp_impl
+        # "xla" forces the full-f32 fallback for parity debugging
+        configure_warp(cfg["training"].get("warp_impl", "auto"), mesh=self.mesh)
+        if self.mesh is not None:
             self.train_step = jit_train_step(
                 make_train_step(self.model, self.step_cfg, self.tx), self.mesh,
                 with_unlabeled=self.enable_unlabeled)

@@ -48,6 +48,7 @@ class JointSegmentationDepth(nn.Module):
     frame_ids: Tuple[Any, ...] = (0, -1, 1)
     num_scales: int = 4
     pose_model_input: str = "pairs"
+    pose_pair_batching: bool = True
     provide_uncropped_for_pose: bool = False
     disable_monodepth: bool = False
     disable_pose: bool = False
@@ -112,21 +113,46 @@ class JointSegmentationDepth(nn.Module):
 
     def predict_poses(self, inputs, *, train: bool = False):
         """Pairwise pose prediction in temporal order with inversion for past
-        frames (reference joint_segmentation_depth.py:20-70)."""
+        frames (reference joint_segmentation_depth.py:20-70).
+
+        TPU-first: with `pose_pair_batching` (default) the frame pairs are
+        stacked on the batch axis and the pose encoder+decoder run ONCE per
+        step instead of once per pair — same convs at 2x the batch, better
+        MXU utilization, half the launches. Convs and the (norm-free) pose
+        decoder match the pair loop to float reassociation noise (~1e-7);
+        the only semantic delta is
+        that the pose encoder's train-mode BatchNorm sees joint statistics
+        over all pairs rather than per-pair (eval mode, which uses running
+        stats, is exact — tests/test_models.py pins both). Set
+        `pose_pair_batching: false` under `model:` for strict per-pair BN.
+        """
         outputs = {}
         src = "color_full_aug" if self.provide_uncropped_for_pose else "color_aug"
         num_pose_frames = 2 if self.pose_model_input == "pairs" else len(self.frame_ids)
         if num_pose_frames == 2:
             feats = {f: inputs[key_of(src, f, 0)] for f in self.frame_ids}
-            for f_i in self.frame_ids[1:]:
-                if f_i == "s":
-                    continue
-                if f_i < 0:
-                    pose_in = jnp.concatenate([feats[f_i], feats[0]], axis=-1)
-                else:
-                    pose_in = jnp.concatenate([feats[0], feats[f_i]], axis=-1)
-                pose_feats = self.pose_encoder(pose_in, train=train)
+            pair_frames = [f for f in self.frame_ids[1:] if f != "s"]
+            pair_inputs = {
+                f_i: (jnp.concatenate([feats[f_i], feats[0]], axis=-1) if f_i < 0
+                      else jnp.concatenate([feats[0], feats[f_i]], axis=-1))
+                for f_i in pair_frames
+            }
+            if self.pose_pair_batching and len(pair_frames) > 1:
+                n = feats[0].shape[0]
+                stacked = jnp.concatenate([pair_inputs[f] for f in pair_frames], axis=0)
+                pose_feats = self.pose_encoder(stacked, train=train)
                 axisangle, translation = self.pose([pose_feats])
+                per_pair = {
+                    f_i: (axisangle[i * n:(i + 1) * n], translation[i * n:(i + 1) * n])
+                    for i, f_i in enumerate(pair_frames)
+                }
+            else:
+                per_pair = {}
+                for f_i in pair_frames:
+                    pose_feats = self.pose_encoder(pair_inputs[f_i], train=train)
+                    per_pair[f_i] = self.pose([pose_feats])
+            for f_i in pair_frames:
+                axisangle, translation = per_pair[f_i]
                 outputs[key_of("axisangle", 0, f_i)] = axisangle
                 outputs[key_of("translation", 0, f_i)] = translation
                 outputs[key_of("cam_T_cam", 0, f_i)] = transformation_from_parameters(
@@ -218,6 +244,7 @@ def build_model(model_cfg: Dict[str, Any], n_classes: int,
         frame_ids=tuple(m.get("frame_ids", (0, -1, 1))),
         num_scales=m.get("num_scales", 4),
         pose_model_input=m.get("pose_model_input", "pairs"),
+        pose_pair_batching=m.get("pose_pair_batching", True),
         provide_uncropped_for_pose=m.get("provide_uncropped_for_pose", False),
         disable_monodepth=m.get("disable_monodepth", False),
         disable_pose=m.get("disable_pose", False),

@@ -66,11 +66,73 @@ def _blend(corners, fx, fy, dtype):
     return (w00 * g00 + w01 * g01 + w10 * g10 + w11 * g11).astype(dtype)
 
 
-def _use_pallas_warp(img, grid) -> bool:
+# Warp-implementation context, set once by the trainer/CLI (not per call):
+#   mode  "auto"   Pallas kernel on TPU when shapes allow (default)
+#         "xla"    force the full-f32 XLA gather path — the parity-debugging
+#                  opt-out for the kernel's bf16 channel-pair rounding
+#                  (config key training.warp_impl)
+#         "pallas" require the kernel (assert shapes/backend)
+#   mesh  the active data-parallel Mesh. pallas_call has no GSPMD
+#         partitioning rule, so on a >1-device mesh the kernel call is
+#         wrapped in shard_map over the batch axis — each device runs the
+#         kernel on its local batch shard and XLA stitches the results;
+#         without a registered mesh a multi-device jit would have to
+#         replicate the warp per device (or fail to partition), so "auto"
+#         falls back to the XLA path when sharding is impossible.
+_WARP_CONFIG = {"mode": "auto", "mesh": None, "axis_name": "data",
+                "interpret": False}
+
+
+def configure_warp(mode: str = "auto", mesh=None, axis_name: str = "data",
+                   interpret: bool = False) -> None:
+    """Select the grid_sample implementation (see _WARP_CONFIG above).
+
+    `interpret=True` runs the Pallas kernel in interpreter mode so the
+    shard_map composition is testable on a CPU mesh."""
+    assert mode in ("auto", "xla", "pallas"), mode
+    _WARP_CONFIG.update(mode=mode, mesh=mesh, axis_name=axis_name,
+                        interpret=interpret)
+
+
+def _pallas_dispatch(img, grid):
+    """None (use XLA) | 'direct' | 'shard_map' for this call's shapes."""
     n, h, w, c = img.shape
-    return (jax.default_backend() == "tpu"
-            and grid.shape[1:3] == (h, w)
-            and h % 8 == 0 and w % 128 == 0)
+    mode = _WARP_CONFIG["mode"]
+    if mode == "xla":
+        return None
+    ok_backend = jax.default_backend() == "tpu" or _WARP_CONFIG["interpret"]
+    ok_shape = grid.shape[1:3] == (h, w) and h % 8 == 0 and w % 128 == 0
+    mesh = _WARP_CONFIG["mesh"]
+    n_dev = mesh.devices.size if mesh is not None else 1
+    ok_batch = n % n_dev == 0
+    if mode == "pallas":
+        assert ok_backend and ok_shape and ok_batch, (img.shape, grid.shape, n_dev)
+    elif not (ok_backend and ok_shape and ok_batch):
+        return None
+    return "shard_map" if n_dev > 1 else "direct"
+
+
+def _pallas_warp3(img, grid):
+    """(out, dfx, dfy) via the Pallas kernel, shard_mapped on a multi-device
+    mesh so each device warps its batch shard with its own kernel launch."""
+    from jax.sharding import PartitionSpec as P
+
+    from .pallas.warp import bilinear_warp_corners, unnormalize_grid
+
+    h, w = img.shape[1:3]
+    interpret = _WARP_CONFIG["interpret"]
+
+    def f(im, gr):
+        ix, iy = unnormalize_grid(gr, h, w)
+        return bilinear_warp_corners(im, ix, iy, interpret=interpret)
+
+    if _pallas_dispatch(img, grid) == "shard_map":
+        spec = P(_WARP_CONFIG["axis_name"])
+        # check_vma=False: pallas_call's out_shapes carry no varying-mesh-axes
+        # annotation, and the kernel is trivially per-shard (batch-parallel)
+        f = jax.shard_map(f, mesh=_WARP_CONFIG["mesh"], in_specs=(spec, spec),
+                          out_specs=(spec, spec, spec), check_vma=False)
+    return f(img, grid)
 
 
 def _warp_with_coeffs(img, grid):
@@ -81,14 +143,12 @@ def _warp_with_coeffs(img, grid):
     On TPU this runs the Pallas lane-shuffle kernel (ops/pallas/warp.py):
     XLA's generic gather costs ~60 ms per 512x512x8x3 warp (~7 ns/index,
     tools/bench_gather2.py) and dominated the train step; the kernel does the
-    same fetch in ~10 ms, bit-exact.
+    same fetch in ~10 ms with indices/blending exact and pixel values
+    rounded through bf16 (see the kernel docstring; `configure_warp("xla")`
+    forces this full-f32 path for parity debugging).
     """
-    if _use_pallas_warp(img, grid):
-        from .pallas.warp import bilinear_warp_corners, unnormalize_grid
-
-        h, w = img.shape[1:3]
-        ix, iy = unnormalize_grid(grid, h, w)
-        out, dfx, dfy = bilinear_warp_corners(img, ix, iy)
+    if _pallas_dispatch(img, grid) is not None:
+        out, dfx, dfy = _pallas_warp3(img, grid)
         return out.astype(img.dtype), dfx, dfy
     corners, (fx, fy), _ = _corners_and_weights(img, grid, True)
     g00, g01, g10, g11 = (g.astype(jnp.float32) for g in corners)
@@ -109,12 +169,8 @@ def grid_sample_nograd_image(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray
     scatter-add on TPU. The img cotangent is zero by contract (enforced by
     the caller).
     """
-    if _use_pallas_warp(img, grid):
-        from .pallas.warp import bilinear_warp_corners, unnormalize_grid
-
-        h, w = img.shape[1:3]
-        ix, iy = unnormalize_grid(grid, h, w)
-        return bilinear_warp_corners(img, ix, iy)[0].astype(img.dtype)
+    if _pallas_dispatch(img, grid) is not None:
+        return _pallas_warp3(img, grid)[0].astype(img.dtype)
     corners, (fx, fy), _ = _corners_and_weights(img, grid, True)
     return _blend(corners, fx, fy, img.dtype)
 

@@ -53,3 +53,24 @@ def test_eval_step_posefree_depth_and_berhu():
     assert np.isfinite(float(metrics["segmentation_loss"]))
     assert "disp_0" in aux
     assert conf.shape == (19, 19)
+
+    # depth eval metrics are wired into validation (the reference declares the
+    # names at loss/monodepth_loss.py:35-36 but never computes them)
+    names = ("abs_rel", "sq_rel", "rms", "log_rms", "a1", "a2", "a3")
+    for n in names:
+        assert np.isfinite(float(metrics[f"depth/{n}"])), n
+    assert 0.0 <= float(metrics["depth/a1"]) <= 1.0
+
+    # a perfect prediction scores zero error: feed the model's own depth
+    # back as depth_gt
+    from improving_segmentation_with_selfsupervised_depth_tpu.ops.geometry import (
+        disp_to_depth,
+    )
+
+    _, pred_depth = disp_to_depth(
+        jnp.asarray(aux["disp_0"], jnp.float32), 1e-3, 80.0)
+    batch_gt = dict(batch)
+    batch_gt["depth_gt"] = pred_depth
+    metrics2, _, _ = ev(state, batch_gt, rng)
+    assert float(metrics2["depth/abs_rel"]) < 1e-5
+    assert float(metrics2["depth/a1"]) > 0.999

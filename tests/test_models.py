@@ -147,6 +147,41 @@ def test_joint_model_forward_keys():
     assert {"encoder", "depth", "segmentation", "pose_encoder", "pose"} <= top
 
 
+def test_pose_pair_batching_parity():
+    """Batched pose pairs == per-pair loop: float-noise-equal in eval mode
+    (running BN stats; only XLA reassociation differs), close in train mode
+    (joint vs per-pair BN batch statistics)."""
+    base = {
+        "arch": "joint_segmentation_depth",
+        "backbone_name": "resnet18",
+        "segmentation_name": "joint_seg_depth_dec",
+        "segmentation_args": {"layers": [9]},
+        "depth_args": {},
+        "frame_ids": [0, -1, 1],
+    }
+    batched = build_model(dict(base, pose_pair_batching=True), n_classes=19)
+    looped = build_model(dict(base, pose_pair_batching=False), n_classes=19)
+    batch = _tiny_batch()
+    params = batched.init(jax.random.PRNGKey(0), batch)
+
+    out_b = batched.apply(params, batch, train=False)
+    out_l = looped.apply(params, batch, train=False)
+    for f in (-1, 1):
+        np.testing.assert_allclose(
+            np.asarray(out_b[f"cam_T_cam_0_{f}"]), np.asarray(out_l[f"cam_T_cam_0_{f}"]),
+            atol=1e-6)
+
+    rngs = {"dropout": jax.random.PRNGKey(1)}
+    out_b, _ = batched.apply(params, batch, train=True, rngs=rngs,
+                             mutable=["batch_stats"])
+    out_l, _ = looped.apply(params, batch, train=True, rngs=rngs,
+                            mutable=["batch_stats"])
+    for f in (-1, 1):
+        np.testing.assert_allclose(
+            np.asarray(out_b[f"cam_T_cam_0_{f}"]), np.asarray(out_l[f"cam_T_cam_0_{f}"]),
+            atol=5e-2)
+
+
 def test_joint_model_mtl_pad_and_imnet():
     cfg = {
         "backbone_name": "resnet18",

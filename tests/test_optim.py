@@ -171,3 +171,39 @@ def test_asgd_matches_torch():
     p = _run_jax_sgd(cfg, {}, params, grads, 6)
     np.testing.assert_allclose(np.asarray(p["depth"]["w"]), tw.detach().numpy(),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_asgd_multi_group_with_schedule_matches_torch():
+    """ASGD eta must track each param group's own scheduled lr (torch
+    recomputes eta from group['lr'] every step) — covers backbone_lr plus a
+    step_lr schedule, the combination the round-2 advisor flagged."""
+    rng = np.random.default_rng(6)
+    w_enc = rng.standard_normal((5,)).astype(np.float32)
+    w_seg = rng.standard_normal((5,)).astype(np.float32)
+    g_enc = rng.standard_normal((5,)).astype(np.float32)
+    g_seg = rng.standard_normal((5,)).astype(np.float32)
+
+    t_enc = torch.tensor(w_enc, requires_grad=True)
+    t_seg = torch.tensor(w_seg, requires_grad=True)
+    opt = torch.optim.ASGD(
+        [{"params": [t_enc], "lr": 0.005}, {"params": [t_seg], "lr": 0.05}],
+        lr=0.05, lambd=1e-2, alpha=0.75)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=2, gamma=0.5)
+    for _ in range(6):
+        t_enc.grad = torch.tensor(g_enc)
+        t_seg.grad = torch.tensor(g_seg)
+        opt.step()
+        sched.step()
+
+    params = {"encoder": {"w": jnp.asarray(w_enc)},
+              "segmentation": {"w": jnp.asarray(w_seg)}}
+    grads = {"encoder": {"w": jnp.asarray(g_enc)},
+             "segmentation": {"w": jnp.asarray(g_seg)}}
+    cfg = {"optimizer": {"name": "asgd", "lr": 0.05, "backbone_lr": 0.005,
+                         "lambd": 1e-2, "alpha": 0.75},
+           "lr_schedule": {"name": "step_lr", "step_size": 2, "gamma": 0.5}}
+    p = _run_jax_sgd(cfg, {}, params, grads, 6)
+    np.testing.assert_allclose(np.asarray(p["encoder"]["w"]),
+                               t_enc.detach().numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p["segmentation"]["w"]),
+                               t_seg.detach().numpy(), rtol=1e-5, atol=1e-6)

@@ -54,5 +54,13 @@ if not have:
 PY
 
 echo "== 3/3 train: exp-$EXP (validation + best-ckpt inside the run)"
-python run_experiments.py --machine ws --exp "$EXP"
+if [ -n "${SDT_SMOKE:-}" ]; then
+  # CI/dry-run mode (exercised by tests/test_pipeline_script.py against a
+  # fake tree): 2-iter trials, tiny model, no pretrained weights, fail fast.
+  # Trial 0 is the from-scratch variant (no mono checkpoint dependencies).
+  python test_experiments.py --machine ws --exps "$EXP" --fake-data --strict \
+    --runs "${SDT_SMOKE_RUNS:-0}"
+else
+  python run_experiments.py --machine ws --exp "$EXP"
+fi
 echo "done; logs + checkpoints under $SDT_OUT_DIR (see metrics.jsonl / tensorboard)"
