@@ -60,6 +60,9 @@ class StepConfig:
     no_ssim: bool = False
     avg_reprojection: bool = False
     disable_automasking: bool = False
+    # SSIM/L1 chain compute dtype; bf16 under amp (the reference autocasts
+    # the SSIM module to fp16 when monodepth configs set amp: true)
+    photometric_dtype: Any = None
     # model-level switches
     disable_monodepth: bool = False
     disable_pose: bool = False
@@ -114,6 +117,7 @@ def _monodepth_loss(cfg: StepConfig, rng, batch, outputs):
         scales=cfg.scales, frame_ids=cfg.frame_ids,
         disparity_smoothness=cfg.disparity_smoothness, no_ssim=cfg.no_ssim,
         avg_reprojection=cfg.avg_reprojection, disable_automasking=cfg.disable_automasking,
+        pred_dtype=cfg.photometric_dtype,
     )
     return losses["loss"], outputs
 
@@ -421,6 +425,7 @@ def step_config_from_cfg(cfg: Dict[str, Any]) -> StepConfig:
         test_max_depth=mono.get("test_max_depth", mono.get("max_depth", 100.0)),
         disparity_smoothness=mono.get("disparity_smoothness", 1e-3),
         no_ssim=mono.get("no_ssim", False),
+        photometric_dtype=jnp.bfloat16 if t.get("amp", False) else None,
         avg_reprojection=mono.get("avg_reprojection", False),
         disable_automasking=mono.get("disable_automasking", False),
         disable_monodepth=m.get("disable_monodepth", False),

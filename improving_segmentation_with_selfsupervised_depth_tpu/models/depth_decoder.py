@@ -21,7 +21,6 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.resize import upsample2x_nearest
 from .layers import ASPP, Conv3x3, ConvBlock, ConvBNReLU
 
 
@@ -66,18 +65,27 @@ class DepthDecoder(nn.Module):
                 x = ConvBlock(self.num_ch_dec[i], bn=self.batch_norm, dropout=self.dropout,
                               dtype=self.dtype, name=f"upconv_{i}_0")(x, train=train)
             # upsample only when spatially needed (static shapes)
-            if i == 0 or x.shape[2] < input_features[i - 1].shape[2]:
-                x = upsample2x_nearest(x)
-            cat = [x]
+            needs_up = i == 0 or x.shape[2] < input_features[i - 1].shape[2]
+            skip = None
             if self.use_skips and i > 0:
                 skip = input_features[i - 1]
                 if self.n_project_skip_ch != -1:
                     skip = ConvBNReLU(self.n_project_skip_ch, 1, dtype=self.dtype,
                                       name=f"skip_proj_{i}")(skip, train=train)
-                cat.append(skip)
-            x = jnp.concatenate(cat, axis=-1)
-            x = ConvBlock(self.num_ch_dec[i], bn=self.batch_norm, dropout=self.dropout,
-                          dtype=self.dtype, name=f"upconv_{i}_1")(x, train=train)
+            if needs_up:
+                # fused nearest-x2 + concat + conv3x3: same math, the
+                # upsampled full-res tensor is never materialized
+                # (models/layers.py _up2_phase_conv)
+                x = ConvBlock(self.num_ch_dec[i], bn=self.batch_norm,
+                              dropout=self.dropout, dtype=self.dtype,
+                              name=f"upconv_{i}_1")(x, skip=skip, up2_cat=True,
+                                                    train=train)
+            else:
+                if skip is not None:
+                    x = jnp.concatenate([x, skip], axis=-1)
+                x = ConvBlock(self.num_ch_dec[i], bn=self.batch_norm,
+                              dropout=self.dropout, dtype=self.dtype,
+                              name=f"upconv_{i}_1")(x, train=train)
             outputs[f"upconv_{i}"] = x
             if i in self.scales and self.enable_disparity:
                 disp = Conv3x3(self.num_output_channels, dtype=self.dtype,

@@ -18,19 +18,98 @@ from flax import linen as nn
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
+class _Conv3x3Params(nn.Module):
+    """Parameter container mirroring nn.Conv's names/shapes ("Conv_0/kernel",
+    "Conv_0/bias") so Conv3x3's param tree is unchanged while the forward can
+    route through either the plain conv or the fused up2+concat+conv path."""
+
+    out_ch: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", kaiming_out, (3, 3, self.in_ch, self.out_ch))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        return kernel, bias
+
+
+def _conv_nhwc(x, kernel, dtype):
+    import jax.lax as lax
+
+    return lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), window_strides=(1, 1),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _up2_phase_conv(x, kernel, dtype):
+    """conv3x3(nearest_x2(x)) without materializing the upsampled tensor.
+
+    Nearest x2 makes adjacent 3x3 taps hit the SAME source pixel, so each of
+    the 4 output phases (a, b) = (row, col parity) is a 2x2 conv on the
+    half-res input with tap-summed weights:
+      rows: a=0 -> (W0, W1+W2), a=1 -> (W0+W1, W2);  cols likewise.
+    Border semantics: reflect-pad of the x2-upsampled tensor equals EDGE-pad
+    of the half-res input (up2 rows (0,1) are both x[0], so reflecting row -1
+    lands on x[0]) — exact, not an approximation. 2.25x fewer MACs than the
+    materialized form and one full-res tensor less traffic.
+    Tap sums run in f32 (param precision) before the cast to `dtype`.
+    """
+    n, h, w, c = x.shape
+    # row-pair weights (2, 3, cin, cout) per row phase
+    r0 = jnp.stack([kernel[0], kernel[1] + kernel[2]])
+    r1 = jnp.stack([kernel[0] + kernel[1], kernel[2]])
+    phases = {}
+    for a, ra in ((0, r0), (1, r1)):
+        for b in (0, 1):
+            if b == 0:
+                k_ab = jnp.stack([ra[:, 0], ra[:, 1] + ra[:, 2]], axis=1)
+            else:
+                k_ab = jnp.stack([ra[:, 0] + ra[:, 1], ra[:, 2]], axis=1)
+            phases[(a, b)] = k_ab  # (2, 2, cin, cout)
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
+    outs = {}
+    for (a, b), k_ab in phases.items():
+        full = _conv_nhwc(xp, k_ab, dtype)          # (n, h+1, w+1, cout)
+        outs[(a, b)] = full[:, a:h + a, b:w + b, :]
+    row0 = jnp.stack([outs[(0, 0)], outs[(0, 1)]], axis=3)  # (n, h, w, 2, co)
+    row1 = jnp.stack([outs[(1, 0)], outs[(1, 1)]], axis=3)
+    out = jnp.stack([row0, row1], axis=2)           # (n, h, 2, w, 2, co)
+    return out.reshape(n, 2 * h, 2 * w, -1)
+
+
 class Conv3x3(nn.Module):
-    """Reflection-pad + 3x3 conv (reference monodepth_layers.py:127-142)."""
+    """Reflection-pad + 3x3 conv (reference monodepth_layers.py:127-142).
+
+    `up2_cat=True` treats `x` as the HALF-resolution tensor that would be
+    nearest-x2 upsampled and concatenated with `skip` before the conv
+    (monodepth decoder stage pattern): the conv kernel is split over the
+    channel groups and the upsampled group runs as 4 phase convs — the same
+    math without ever materializing the upsampled full-res tensor
+    (see `_up2_phase_conv`)."""
 
     out_ch: int
     use_refl: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        mode = "reflect" if self.use_refl else "constant"
-        x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode=mode)
-        return nn.Conv(self.out_ch, (3, 3), padding="VALID", dtype=self.dtype,
-                       kernel_init=kaiming_out)(x)
+    def __call__(self, x, skip=None, up2_cat: bool = False):
+        if not up2_cat:
+            assert skip is None
+            mode = "reflect" if self.use_refl else "constant"
+            cin = x.shape[-1]
+            kernel, bias = _Conv3x3Params(self.out_ch, cin, name="Conv_0")()
+            xpad = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode=mode)
+            out = _conv_nhwc(xpad, kernel, self.dtype)
+            return out + bias.astype(self.dtype)
+        assert self.use_refl  # decoder stages always reflect-pad
+        c_up = x.shape[-1]
+        c_skip = 0 if skip is None else skip.shape[-1]
+        kernel, bias = _Conv3x3Params(self.out_ch, c_up + c_skip, name="Conv_0")()
+        out = _up2_phase_conv(x, kernel[:, :, :c_up], self.dtype)
+        if skip is not None:
+            spad = jnp.pad(skip, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
+            out = out + _conv_nhwc(spad, kernel[:, :, c_up:], self.dtype)
+        return out + bias.astype(self.dtype)
 
 
 class ConvBlock(nn.Module):
@@ -43,8 +122,8 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
-        x = Conv3x3(self.out_ch, dtype=self.dtype)(x)
+    def __call__(self, x, skip=None, up2_cat: bool = False, *, train: bool = False):
+        x = Conv3x3(self.out_ch, dtype=self.dtype)(x, skip=skip, up2_cat=up2_cat)
         if self.bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)

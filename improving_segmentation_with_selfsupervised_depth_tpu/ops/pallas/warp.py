@@ -24,12 +24,18 @@ photometric loss consumes image values in [0, 1] where bf16 holds ~3
 significant digits. The sampling indices and all blending/gradient math stay
 f32. The XLA fallback path in ops/resample.py remains full f32.
 
-Loop structure (measured in-step on v5e, bs8 512^2): dynamic fori over 8-row
-source groups x dynamic fori over lane-tiles, 8-row static unroll inside.
-Variants tried and rejected: statically unrolled lane-tile loop (faster
-isolated, slower in-step — real rough grids have x-span ~2 of 4 tiles);
-batch-in-sublanes layout (3x slower: it forfeits the one-shuffle-per-
-candidate-row amortization across the tile's 8 output rows).
+Loop structure (measured in-step on v5e, bs8 512^2): one grid program per
+(image, 8-row output band) covering ALL channel pairs — the sampling
+indices are shared across pairs, so the per-tile index math, span
+reductions and row-key compares are paid once and only the value
+fetch/select repeats per pair. Inside: dynamic fori over x lane-tiles x
+dynamic fori over 8-row source groups, 8-row static unroll.
+Variants tried and rejected: one program per (image, pair, band) (round-2
+shape: repeats index math per pair, ~15% slower); statically unrolled
+lane-tile loop (faster isolated, slower in-step — real rough grids have
+x-span ~2 of 4 tiles); batch-in-sublanes layout (3x slower: it forfeits
+the one-shuffle-per-candidate-row amortization across the tile's 8 output
+rows).
 
 Semantics: torch.nn.functional.grid_sample(mode='bilinear',
 padding_mode='border', align_corners=True), matching ops/resample.py
@@ -65,11 +71,18 @@ def _unpack_pair(g: jnp.ndarray):
     return lo, hi
 
 
-def _warp_kernel(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *, h: int, w: int):
-    """Grid step = one (SUB, w) output band of one (n, channel-pair) plane.
+def _warp_kernel(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *,
+                 h: int, w: int, n_pairs: int):
+    """Grid step = one (SUB, w) output band across ALL channel pairs.
 
-    src_ref: (1, 1, h, w) int32 — packed bf16 channel pair.
-    out/dfx/dfy: (1, 2, SUB, w) f32 — the two unpacked channels.
+    src_ref: (1, P, h, w) int32 — packed bf16 channel pairs.
+    out/dfx/dfy: (1, P, 2, SUB, w) f32 — the unpacked channels.
+
+    All channel pairs share the sampling indices, so one program handles the
+    whole band: the per-tile index math, span reductions and row-key compares
+    are computed ONCE and only the value fetch/select runs per pair —
+    per candidate row: 4 compares + P*(broadcast + 2 shuffles + 4 selects)
+    instead of P*(4 compares + broadcast + 2 shuffles + 4 selects).
     """
     n_lt = w // _LANE
 
@@ -118,36 +131,46 @@ def _warp_kernel(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *, h: int, 
             xl1c = jnp.clip(xl1, 0, _LANE - 1)
 
             def group_body(rg, accs):
-                g00, g01, g10, g11 = accs
                 rs = pl.multiple_of(rg * _SUB, _SUB)
-                block = src_ref[0, 0, pl.ds(rs, _SUB), pl.ds(xs, _LANE)]
+                blocks = [src_ref[0, p, pl.ds(rs, _SUB), pl.ds(xs, _LANE)]
+                          for p in range(n_pairs)]
+                accs = list(accs)
                 for s in range(_SUB):
                     r = rg * _SUB + s
-                    seg = jnp.broadcast_to(block[s:s + 1, :], (_SUB, _LANE))
-                    s0 = jnp.take_along_axis(seg, xl0c, axis=1)
-                    s1 = jnp.take_along_axis(seg, xl1c, axis=1)
-                    g00 = jnp.where(key0 == r, s0, g00)
-                    g10 = jnp.where(key0b == r, s0, g10)
-                    g01 = jnp.where(key1 == r, s1, g01)
-                    g11 = jnp.where(key1b == r, s1, g11)
-                return g00, g01, g10, g11
+                    m00 = key0 == r
+                    m10 = key0b == r
+                    m01 = key1 == r
+                    m11 = key1b == r
+                    for p in range(n_pairs):
+                        g00, g01, g10, g11 = accs[p]
+                        seg = jnp.broadcast_to(blocks[p][s:s + 1, :], (_SUB, _LANE))
+                        s0 = jnp.take_along_axis(seg, xl0c, axis=1)
+                        s1 = jnp.take_along_axis(seg, xl1c, axis=1)
+                        accs[p] = (jnp.where(m00, s0, g00),
+                                   jnp.where(m01, s1, g01),
+                                   jnp.where(m10, s0, g10),
+                                   jnp.where(m11, s1, g11))
+                return tuple(accs)
 
             return jax.lax.fori_loop(g_lo, g_hi + 1, group_body, accs)
 
-        g00, g01, g10, g11 = jax.lax.fori_loop(
-            t_lo, t_hi + 1, tile_body, (zero, zero, zero, zero))
+        init = tuple((zero, zero, zero, zero) for _ in range(n_pairs))
+        accs = jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, init)
 
         w00 = (1.0 - fx) * (1.0 - fy)
         w01 = fx * (1.0 - fy)
         w10 = (1.0 - fx) * fy
         w11 = fx * fy
         sl = slice(lt * _LANE, (lt + 1) * _LANE)
-        for slot, pick in ((0, 0), (1, 1)):
-            c00, c01 = _unpack_pair(g00)[pick], _unpack_pair(g01)[pick]
-            c10, c11 = _unpack_pair(g10)[pick], _unpack_pair(g11)[pick]
-            out_ref[0, slot, :, sl] = w00 * c00 + w01 * c01 + w10 * c10 + w11 * c11
-            dfx_ref[0, slot, :, sl] = (c01 - c00) * (1.0 - fy) + (c11 - c10) * fy
-            dfy_ref[0, slot, :, sl] = (c10 - c00) * (1.0 - fx) + (c11 - c01) * fx
+        for p in range(n_pairs):
+            g00, g01, g10, g11 = accs[p]
+            for slot, pick in ((0, 0), (1, 1)):
+                c00, c01 = _unpack_pair(g00)[pick], _unpack_pair(g01)[pick]
+                c10, c11 = _unpack_pair(g10)[pick], _unpack_pair(g11)[pick]
+                out_ref[0, p, slot, :, sl] = (
+                    w00 * c00 + w01 * c01 + w10 * c10 + w11 * c11)
+                dfx_ref[0, p, slot, :, sl] = (c01 - c00) * (1.0 - fy) + (c11 - c10) * fy
+                dfy_ref[0, p, slot, :, sl] = (c10 - c00) * (1.0 - fx) + (c11 - c01) * fx
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -173,25 +196,26 @@ def bilinear_warp_corners(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
         imgb.reshape(n, h, w, n_pairs, 2), jnp.int32)     # (N, H, W, P)
     packed = packed.transpose(0, 3, 1, 2)                  # (N, P, H, W)
 
-    shape = jax.ShapeDtypeStruct((n, cp, h, w), jnp.float32)
-    band = pl.BlockSpec((1, _SUB, w), lambda ni, ci, b: (ni, b, 0),
+    shape = jax.ShapeDtypeStruct((n, n_pairs, 2, h, w), jnp.float32)
+    band = pl.BlockSpec((1, _SUB, w), lambda ni, b: (ni, b, 0),
                         memory_space=pltpu.VMEM)
-    pair_out = pl.BlockSpec((1, 2, _SUB, w), lambda ni, ci, b: (ni, ci, b, 0),
+    band_out = pl.BlockSpec((1, n_pairs, 2, _SUB, w), lambda ni, b: (ni, 0, 0, b, 0),
                             memory_space=pltpu.VMEM)
     out, dfx, dfy = pl.pallas_call(
-        functools.partial(_warp_kernel, h=h, w=w),
+        functools.partial(_warp_kernel, h=h, w=w, n_pairs=n_pairs),
         out_shape=(shape, shape, shape),
-        grid=(n, n_pairs, n_bands),
+        grid=(n, n_bands),
         in_specs=[
             band,
             band,
-            pl.BlockSpec((1, 1, h, w), lambda ni, ci, b: (ni, ci, 0, 0),
+            pl.BlockSpec((1, n_pairs, h, w), lambda ni, b: (ni, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pair_out, pair_out, pair_out),
+        out_specs=(band_out, band_out, band_out),
         interpret=interpret,
     )(ix.astype(jnp.float32), iy.astype(jnp.float32), packed)
-    tr = lambda x: x.transpose(0, 2, 3, 1)[..., :c]
+    # (n, P, 2, h, w) -> (n, h, w, P*2) -> drop channel padding
+    tr = lambda x: x.reshape(n, cp, h, w).transpose(0, 2, 3, 1)[..., :c]
     return tr(out), tr(dfx), tr(dfy)
 
 

@@ -40,23 +40,32 @@ def key_of(name: str, *idx) -> str:
 
 
 def reprojection_loss(pred: jnp.ndarray, target: jnp.ndarray, no_ssim: bool = False,
-                      fused: bool = False) -> jnp.ndarray:
+                      fused: bool = False, dtype=None) -> jnp.ndarray:
     """Per-pixel reprojection error (N, H, W, 1). Reference monodepth_loss.py:104-116.
 
     `fused=True` uses the banded Pallas kernel (TPU only) — one read of the
     inputs instead of XLA's chain of five pools; fully differentiable w.r.t.
     `pred` via the analytic VJP kernel (target is data in the photometric
     loss, reference monodepth_loss.py:104-116 warps inputs toward the target
-    frame)."""
+    frame).
+
+    `dtype` (e.g. bfloat16) computes the SSIM/L1 chain in reduced precision
+    — the functional mirror of the reference's `amp: true` runs where
+    torch.cuda.amp autocasts the SSIM module to fp16
+    (models/monodepth_layers.py:224-254 under train.py:300 autocast). The
+    returned error map (and the min-automasking that consumes it) is f32."""
     if fused and not no_ssim and jax.default_backend() == "tpu":
         from .pallas import fused_reprojection_error_diff
 
         return fused_reprojection_error_diff(pred, target)
+    if dtype is not None:
+        pred = pred.astype(dtype)
+        target = target.astype(dtype)
     l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
     if no_ssim:
-        return l1
+        return l1.astype(jnp.float32)
     ssim_term = jnp.mean(ssim(pred, target), axis=-1, keepdims=True)
-    return 0.85 * ssim_term + 0.15 * l1
+    return (0.85 * ssim_term + 0.15 * l1).astype(jnp.float32)
 
 
 def generate_images_pred(
@@ -109,6 +118,7 @@ def compute_losses(
     avg_reprojection: bool = False,
     disable_automasking: bool = False,
     fused_pred: bool = False,
+    pred_dtype=None,
 ) -> Dict[str, jnp.ndarray]:
     """Min-reprojection photometric loss with automasking + smoothness.
 
@@ -147,7 +157,7 @@ def compute_losses(
         reproj = jnp.concatenate(
             [
                 reprojection_loss(outputs[key_of("color_pred", f, scale)], target,
-                                  no_ssim, fused=fused_pred)
+                                  no_ssim, fused=fused_pred, dtype=pred_dtype)
                 for f in frame_ids[1:]
             ],
             axis=-1,

@@ -198,3 +198,32 @@ def test_joint_model_mtl_pad_and_imnet():
     assert "semantics" in out and "intermediate_semantics" in out
     assert "imnet_features" in out and "encoder_features" in out
     assert "mtl_decoder" in params["params"] and "imnet_encoder" in params["params"]
+
+
+def test_fused_up2_conv_matches_materialized():
+    """Conv3x3(up2_cat=True) == reflect-pad conv3x3 on the materialized
+    nearest-x2 upsample + concat, including borders (edge-pad equivalence)."""
+    from improving_segmentation_with_selfsupervised_depth_tpu.models.layers import Conv3x3
+    from improving_segmentation_with_selfsupervised_depth_tpu.ops.resize import (
+        upsample2x_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 5)).astype(np.float32))
+    skip = jnp.asarray(rng.standard_normal((2, 12, 16, 3)).astype(np.float32))
+
+    conv = Conv3x3(out_ch=7)
+    cat = jnp.concatenate([upsample2x_nearest(x), skip], axis=-1)
+    params = conv.init(jax.random.PRNGKey(0), cat)
+
+    ref = conv.apply(params, cat)
+    fused = conv.apply(params, x, skip=skip, up2_cat=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # no-skip variant (scale-0 stage)
+    params1 = conv.init(jax.random.PRNGKey(1), upsample2x_nearest(x))
+    ref1 = conv.apply(params1, upsample2x_nearest(x))
+    fused1 = conv.apply(params1, x, up2_cat=True)
+    np.testing.assert_allclose(np.asarray(fused1), np.asarray(ref1),
+                               atol=1e-5, rtol=1e-5)

@@ -39,7 +39,6 @@ from improving_segmentation_with_selfsupervised_depth_tpu.models import build_mo
 from improving_segmentation_with_selfsupervised_depth_tpu.ops import photometric
 
 H = W = 512
-BATCH = 8
 
 model_cfg = {
     "backbone_name": "resnet101",
@@ -91,10 +90,15 @@ def time_steps(compiled, state, batch, rng, n):
 
 
 def main():
+    global BATCH
     ap = argparse.ArgumentParser()
     ap.add_argument("--warmup-steps", type=int, default=300)
     ap.add_argument("--time-steps", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--bf16-photo", action="store_true",
+                    help="compute the SSIM/L1 chain in bf16 (amp parity)")
     args = ap.parse_args()
+    BATCH = args.batch
 
     model = build_model(model_cfg, n_classes=19, dtype=jnp.bfloat16)
     batch = {k: jnp.asarray(v) for k, v in
@@ -103,7 +107,8 @@ def main():
     tx = build_optimizer(training_cfg, model_cfg, params["params"])
     state = create_train_state(model, jax.random.PRNGKey(0), batch, tx)
     cfg = StepConfig(monodepth_lambda=1.0, segmentation_lambda=1.0,
-                     frame_ids=(0, -1, 1), scales=(0, 1, 2, 3))
+                     frame_ids=(0, -1, 1), scales=(0, 1, 2, 3),
+                     photometric_dtype=jnp.bfloat16 if args.bf16_photo else None)
     step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
     rng = jax.random.PRNGKey(0)
     t_compile0 = time.time()

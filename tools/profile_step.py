@@ -34,7 +34,7 @@ model_cfg = {
 }
 training_cfg = {
     "optimizer": {"name": "sgd", "lr": 1e-2, "momentum": 0.9, "backbone_lr": 1e-3},
-    "lr_schedule": {"name": "multi_step", "milestones": [30000], "gamma": 0.1},
+    "lr_schedule": {"name": "multi_step", "milestones": [150, 250], "gamma": 0.1},  # settles the warmup like bench.py
     "clip_grad_norm": 10.0,
 }
 
@@ -45,11 +45,25 @@ params = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNG
 tx = build_optimizer(training_cfg, model_cfg, params["params"])
 state = create_train_state(model, jax.random.PRNGKey(0), batch, tx)
 cfg = StepConfig(monodepth_lambda=1.0, segmentation_lambda=1.0,
-                 frame_ids=(0, -1, 1), scales=(0, 1, 2, 3))
+                 frame_ids=(0, -1, 1), scales=(0, 1, 2, 3),
+                 photometric_dtype=jnp.bfloat16)  # match bench.py (amp parity)
 step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
 rng = jax.random.PRNGKey(0)
 state, m = step(state, batch, None, rng)
 jax.block_until_ready(m["total_loss"])
+
+# PROFILE_WARMUP=N runs N real training steps first so the trace captures
+# the steady-state (smooth-grid) regime instead of the random-init transient
+import os
+import time as _time
+
+warmup = int(os.environ.get("PROFILE_WARMUP", "0"))
+t0 = _time.time()
+for i in range(warmup):
+    state, m = step(state, batch, None, rng)
+if warmup:
+    jax.block_until_ready(m["total_loss"])
+    print(f"warmup {warmup} steps in {_time.time()-t0:.0f}s")
 
 jax.profiler.start_trace("/tmp/jaxtrace")
 for _ in range(3):
