@@ -56,6 +56,20 @@ REF_ASSUMED_MFU = 0.12      # see BASELINE.md for the derivation + sensitivity
 BASELINE_KIND = "derived_proxy_12pct_a100_mfu"
 V5E_PEAK = 197e12           # v5e bf16 peak per chip
 
+# The reference's FLOPs per image for each workload — XLA cost analysis of the
+# round-2 program, whose compute graph matches the reference's model math
+# 1:1 (materialized upsamples, unfused 3x3 convs). FROZEN so that our own
+# FLOP-reducing rewrites (e.g. the phase-decomposed upsample-conv) don't move
+# the baseline: the reference still executes its unfused math, so the proxy
+# `A100_PEAK * MFU / tflop_per_img` must use ITS per-image work, not ours.
+# MFU in the per-mode stats still uses the LIVE cost analysis (our program's
+# actual FLOPs on this chip).
+REF_TFLOP_PER_IMG = {
+    "sde_supervised": 9.797 / 8,     # BENCH_r02 sde_supervised
+    "exp210_depthcomp": 14.05 / 8,   # BENCH_r02 exp210_depthcomp
+    "exp212_pad_online": 15.258 / 4, # BENCH_r02 exp212_pad_online
+}
+
 H = W = 512
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2400))
 WARMUP_STEPS = int(os.environ.get("BENCH_WARMUP_STEPS", 300))
@@ -244,13 +258,13 @@ def main():
                    photometric_dtype=jnp.bfloat16),  # amp: true parity
         batch_size=4, with_ema=True, steady=True)
 
-    # per-workload proxy: the reference's eager pipeline executes the same
-    # TFLOP/img on an A100 at the assumed MFU (BASELINE.md derivation)
-    for r in results.values():
+    # per-workload proxy: the reference's eager pipeline executes ITS
+    # (frozen, unfused) TFLOP/img on an A100 at the assumed MFU
+    # (BASELINE.md derivation + REF_TFLOP_PER_IMG note above)
+    for name, r in results.items():
         if "tflop_per_step" not in r:
             continue
-        proxy = A100_PEAK * REF_ASSUMED_MFU / (
-            r["tflop_per_step"] * 1e12 / r["batch_size"])
+        proxy = A100_PEAK * REF_ASSUMED_MFU / (REF_TFLOP_PER_IMG[name] * 1e12)
         r["baseline_imgs_per_sec"] = round(proxy, 2)
         for mode in ("cold", "steady_state"):
             if mode in r:

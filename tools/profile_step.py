@@ -3,7 +3,11 @@
 import glob
 import gzip
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +58,6 @@ jax.block_until_ready(m["total_loss"])
 
 # PROFILE_WARMUP=N runs N real training steps first so the trace captures
 # the steady-state (smooth-grid) regime instead of the random-init transient
-import os
 import time as _time
 
 warmup = int(os.environ.get("PROFILE_WARMUP", "0"))
