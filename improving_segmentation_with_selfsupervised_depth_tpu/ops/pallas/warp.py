@@ -10,31 +10,39 @@ Design: TPU has no fast arbitrary gather, but Mosaic lowers
 `jnp.take_along_axis(..., axis=-1)` on a (8, 128) tile to an in-register lane
 shuffle. The kernel keeps the source plane in VMEM and, for each (8, 128)
 output tile, computes the dynamic bounding box of the source rows/lane-tiles
-its samples touch; each candidate source row costs one broadcast and two lane
-shuffles (left/right x-corner) whose output covers the whole tile. Arbitrary
+its samples touch; candidate source rows are scanned with one broadcast +
+one lane shuffle per channel whose output covers the whole tile. Arbitrary
 warps stay *exact* in indexing — wide scatter (random-init depth) just widens
 the candidate loop.
 
-Channel packing: pixel values are carried as bf16 PAIRS packed into 32-bit
-lanes (channels padded to even count), so one shuffle+select chain fetches
-two channels at once — ~1.8x less inner-loop work. Corner values are
-therefore bf16; the reference itself warps in fp16 under torch.cuda.amp
-(monodepth configs set amp: true and autocast covers F.grid_sample), and the
-photometric loss consumes image values in [0, 1] where bf16 holds ~3
-significant digits. The sampling indices and all blending/gradient math stay
-f32. The XLA fallback path in ops/resample.py remains full f32.
+Sliding-pair packing (the key trick): each 32-bit source lane carries the
+bf16 PAIR (src[y, x], src[y, x+1]) — pixel and right neighbor, built once
+per call with an edge-clamped shift. A single lane shuffle at index x0 then
+fetches BOTH x-corners of the bilinear stencil, so the candidate loop needs
+one shuffle + two selects per (row, channel) instead of two shuffles + four
+selects per channel-pair, and the x1 tile-membership keys vanish entirely
+(x0's tile always holds x0+1's value). In-step A/B on v5e showed the loop
+is bound by the shuffle ops — round-2's channel-pair packing (2 channels
+per shuffle but 2 shuffles per row for the two x-corners) measured
+identically to a compare/select-halved variant, while sliding pairs cut the
+shuffle count itself.
 
-Loop structure (measured in-step on v5e, bs8 512^2): one grid program per
-(image, 8-row output band) covering ALL channel pairs — the sampling
-indices are shared across pairs, so the per-tile index math, span
-reductions and row-key compares are paid once and only the value
-fetch/select repeats per pair. Inside: dynamic fori over x lane-tiles x
-dynamic fori over 8-row source groups, 8-row static unroll.
+Corner values are therefore bf16; the reference itself warps in fp16 under
+torch.cuda.amp (monodepth configs set amp: true and autocast covers
+F.grid_sample), and the photometric loss consumes image values in [0, 1]
+where bf16 holds ~3 significant digits. The sampling indices and all
+blending/gradient math stay f32. The XLA fallback path in ops/resample.py
+remains full f32.
+
+Loop structure: one grid program per (image, 8-row output band) covering
+ALL channels — index math, span reductions and row-key compares are paid
+once per band. Inside: dynamic fori over x lane-tiles x dynamic fori over
+8-row source groups, 8-row static unroll.
 Variants tried and rejected: one program per (image, pair, band) (round-2
-shape: repeats index math per pair, ~15% slower); statically unrolled
-lane-tile loop (faster isolated, slower in-step — real rough grids have
-x-span ~2 of 4 tiles); batch-in-sublanes layout (3x slower: it forfeits
-the one-shuffle-per-candidate-row amortization across the tile's 8 output
+shape: repeats index math per pair); statically unrolled lane-tile loop
+(faster isolated, slower in-step — real rough grids have x-span ~2 of 4
+tiles); batch-in-sublanes layout (3x slower: it forfeits the
+one-shuffle-per-candidate-row amortization across the tile's 8 output
 rows).
 
 Semantics: torch.nn.functional.grid_sample(mode='bilinear',
@@ -72,17 +80,12 @@ def _unpack_pair(g: jnp.ndarray):
 
 
 def _warp_kernel(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *,
-                 h: int, w: int, n_pairs: int):
-    """Grid step = one (SUB, w) output band across ALL channel pairs.
+                 h: int, w: int, c: int):
+    """Grid step = one (SUB, w) output band across all channels.
 
-    src_ref: (1, P, h, w) int32 — packed bf16 channel pairs.
-    out/dfx/dfy: (1, P, 2, SUB, w) f32 — the unpacked channels.
-
-    All channel pairs share the sampling indices, so one program handles the
-    whole band: the per-tile index math, span reductions and row-key compares
-    are computed ONCE and only the value fetch/select runs per pair —
-    per candidate row: 4 compares + P*(broadcast + 2 shuffles + 4 selects)
-    instead of P*(4 compares + broadcast + 2 shuffles + 4 selects).
+    src_ref: (1, C, h, w) int32 — sliding-pair packed bf16
+             (lane x = (src[y, x], src[y, x+1])).
+    out/dfx/dfy: (1, C, SUB, w) f32.
     """
     n_lt = w // _LANE
 
@@ -98,79 +101,77 @@ def _warp_kernel(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *,
         y0 = jnp.floor(iy)
         fx = ix - x0
         fy = iy - y0
+        # left-edge clamp: torch uses src[0] for BOTH x-corners (x1c = clip
+        # (x0+1) = 0) but lane 0's sliding pair is (src[0], src[1]) — fold
+        # the clamp into the weight (fx=0 -> picks s0=src[0]) and zero the
+        # dfx subgradient like the clamped-corner difference would be.
+        # The right edge needs nothing: lane w-1 packs (src[w-1], src[w-1]).
+        x_unclamped = (x0 >= 0.0).astype(jnp.float32)
+        fx = fx * x_unclamped
         x0c = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
-        x1c = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
         y0c = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
         y1c = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
 
         # dynamic candidate bounds for this tile (exact; tight when local).
         # Mosaic only allows 8-aligned dynamic sublane starts, so the row loop
-        # walks aligned 8-row groups with a static inner unroll.
+        # walks aligned 8-row groups with a static inner unroll. Only x0
+        # drives the x-tile span: the sliding pair carries x0+1's value.
         g_lo = jnp.min(y0c) // _SUB
         g_hi = jnp.max(y1c) // _SUB
         t_lo = jnp.min(x0c) // _LANE
-        t_hi = jnp.max(x1c) // _LANE
+        t_hi = jnp.max(x0c) // _LANE
 
         zero = jnp.zeros((_SUB, _LANE), jnp.int32)
 
-        # lane-tile loop OUTER so the per-tile x masks/keys hoist out of the
-        # row loop (carrying bool masks across rows to reuse the y0 compare
-        # for y1 does not legalize in Mosaic's scf.for — explicit r-1
-        # compares instead, which also need no border fix-up)
+        # lane-tile loop OUTER so the per-tile x keys hoist out of the row
+        # loop (carrying bool masks across rows does not legalize in
+        # Mosaic's scf.for — explicit compares instead)
         def tile_body(xt, accs):
             xs = pl.multiple_of(xt * _LANE, _LANE)
             xl0 = x0c - xt * _LANE
-            xl1 = x1c - xt * _LANE
             # fold the in-tile test into the row key: out-of-tile lanes get
             # key -1 which never matches a row index
-            key0 = jnp.where((xl0 >= 0) & (xl0 < _LANE), y0c, -1)
-            key0b = jnp.where((xl0 >= 0) & (xl0 < _LANE), y1c, -1)
-            key1 = jnp.where((xl1 >= 0) & (xl1 < _LANE), y0c, -1)
-            key1b = jnp.where((xl1 >= 0) & (xl1 < _LANE), y1c, -1)
+            in_tile = (xl0 >= 0) & (xl0 < _LANE)
+            key0 = jnp.where(in_tile, y0c, -1)
+            key0b = jnp.where(in_tile, y1c, -1)
             xl0c = jnp.clip(xl0, 0, _LANE - 1)
-            xl1c = jnp.clip(xl1, 0, _LANE - 1)
 
             def group_body(rg, accs):
                 rs = pl.multiple_of(rg * _SUB, _SUB)
-                blocks = [src_ref[0, p, pl.ds(rs, _SUB), pl.ds(xs, _LANE)]
-                          for p in range(n_pairs)]
+                blocks = [src_ref[0, ci, pl.ds(rs, _SUB), pl.ds(xs, _LANE)]
+                          for ci in range(c)]
                 accs = list(accs)
                 for s in range(_SUB):
                     r = rg * _SUB + s
-                    m00 = key0 == r
-                    m10 = key0b == r
-                    m01 = key1 == r
-                    m11 = key1b == r
-                    for p in range(n_pairs):
-                        g00, g01, g10, g11 = accs[p]
-                        seg = jnp.broadcast_to(blocks[p][s:s + 1, :], (_SUB, _LANE))
-                        s0 = jnp.take_along_axis(seg, xl0c, axis=1)
-                        s1 = jnp.take_along_axis(seg, xl1c, axis=1)
-                        accs[p] = (jnp.where(m00, s0, g00),
-                                   jnp.where(m01, s1, g01),
-                                   jnp.where(m10, s0, g10),
-                                   jnp.where(m11, s1, g11))
+                    m_top = key0 == r
+                    m_bot = key0b == r
+                    for ci in range(c):
+                        a_top, a_bot = accs[ci]
+                        seg = jnp.broadcast_to(blocks[ci][s:s + 1, :],
+                                               (_SUB, _LANE))
+                        v = jnp.take_along_axis(seg, xl0c, axis=1)
+                        accs[ci] = (jnp.where(m_top, v, a_top),
+                                    jnp.where(m_bot, v, a_bot))
                 return tuple(accs)
 
             return jax.lax.fori_loop(g_lo, g_hi + 1, group_body, accs)
 
-        init = tuple((zero, zero, zero, zero) for _ in range(n_pairs))
+        init = tuple((zero, zero) for _ in range(c))
         accs = jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, init)
 
-        w00 = (1.0 - fx) * (1.0 - fy)
-        w01 = fx * (1.0 - fy)
-        w10 = (1.0 - fx) * fy
-        w11 = fx * fy
         sl = slice(lt * _LANE, (lt + 1) * _LANE)
-        for p in range(n_pairs):
-            g00, g01, g10, g11 = accs[p]
-            for slot, pick in ((0, 0), (1, 1)):
-                c00, c01 = _unpack_pair(g00)[pick], _unpack_pair(g01)[pick]
-                c10, c11 = _unpack_pair(g10)[pick], _unpack_pair(g11)[pick]
-                out_ref[0, p, slot, :, sl] = (
-                    w00 * c00 + w01 * c01 + w10 * c10 + w11 * c11)
-                dfx_ref[0, p, slot, :, sl] = (c01 - c00) * (1.0 - fy) + (c11 - c10) * fy
-                dfy_ref[0, p, slot, :, sl] = (c10 - c00) * (1.0 - fx) + (c11 - c01) * fx
+        one_m_fx = 1.0 - fx
+        one_m_fy = 1.0 - fy
+        for ci in range(c):
+            a_top, a_bot = accs[ci]
+            s0t, s1t = _unpack_pair(a_top)   # (g00, g01)
+            s0b, s1b = _unpack_pair(a_bot)   # (g10, g11)
+            top = one_m_fx * s0t + fx * s1t
+            bot = one_m_fx * s0b + fx * s1b
+            out_ref[0, ci, :, sl] = one_m_fy * top + fy * bot
+            dfx_ref[0, ci, :, sl] = (
+                (s1t - s0t) * one_m_fy + (s1b - s0b) * fy) * x_unclamped
+            dfy_ref[0, ci, :, sl] = bot - top
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -180,42 +181,39 @@ def bilinear_warp_corners(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
 
     Returns (out, dfx, dfy), each (N, H, W, C) float32: the bilinear sample
     and the two grid-gradient coefficient planes (see module docstring).
-    Pixel values round through bf16 (channel-pair packing); indices and
+    Pixel values round through bf16 (sliding-pair packing); indices and
     blending are f32. Requires H % 8 == 0 and W % 128 == 0.
     """
     n, h, w, c = img.shape
     assert h % _SUB == 0 and w % _LANE == 0, (h, w)
     n_bands = h // _SUB
-    cp = c + (c % 2)
-    n_pairs = cp // 2
 
     imgb = img.astype(jnp.bfloat16)
-    if cp != c:
-        imgb = jnp.pad(imgb, [(0, 0)] * 3 + [(0, cp - c)])
+    # sliding pairs: lane x packs (src[x], src[x+1 clamped])
+    nxt = jnp.concatenate([imgb[:, :, 1:], imgb[:, :, -1:]], axis=2)
     packed = jax.lax.bitcast_convert_type(
-        imgb.reshape(n, h, w, n_pairs, 2), jnp.int32)     # (N, H, W, P)
-    packed = packed.transpose(0, 3, 1, 2)                  # (N, P, H, W)
+        jnp.stack([imgb, nxt], axis=-1), jnp.int32)        # (N, H, W, C)
+    packed = packed.transpose(0, 3, 1, 2)                   # (N, C, H, W)
 
-    shape = jax.ShapeDtypeStruct((n, n_pairs, 2, h, w), jnp.float32)
+    shape = jax.ShapeDtypeStruct((n, c, h, w), jnp.float32)
     band = pl.BlockSpec((1, _SUB, w), lambda ni, b: (ni, b, 0),
                         memory_space=pltpu.VMEM)
-    band_out = pl.BlockSpec((1, n_pairs, 2, _SUB, w), lambda ni, b: (ni, 0, 0, b, 0),
+    band_out = pl.BlockSpec((1, c, _SUB, w), lambda ni, b: (ni, 0, b, 0),
                             memory_space=pltpu.VMEM)
     out, dfx, dfy = pl.pallas_call(
-        functools.partial(_warp_kernel, h=h, w=w, n_pairs=n_pairs),
+        functools.partial(_warp_kernel, h=h, w=w, c=c),
         out_shape=(shape, shape, shape),
         grid=(n, n_bands),
         in_specs=[
             band,
             band,
-            pl.BlockSpec((1, n_pairs, h, w), lambda ni, b: (ni, 0, 0, 0),
+            pl.BlockSpec((1, c, h, w), lambda ni, b: (ni, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(band_out, band_out, band_out),
         interpret=interpret,
     )(ix.astype(jnp.float32), iy.astype(jnp.float32), packed)
-    # (n, P, 2, h, w) -> (n, h, w, P*2) -> drop channel padding
-    tr = lambda x: x.reshape(n, cp, h, w).transpose(0, 2, 3, 1)[..., :c]
+    tr = lambda x: x.transpose(0, 2, 3, 1)
     return tr(out), tr(dfx), tr(dfy)
 
 
