@@ -77,6 +77,51 @@ def test_compute_losses_deterministic_given_key():
     assert float(l1["loss"]) == float(l2["loss"])
 
 
+def test_compute_losses_bf16_chain_close_to_f32():
+    """pred_dtype=bf16 (the amp-parity SSIM/L1 chain) stays within bf16
+    rounding of the f32 loss, with gradients flowing."""
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(2, 64, 96, num_scales=1).items()}
+    outputs = _outputs_for(batch)
+    out = photometric.generate_images_pred(
+        batch, outputs, scales=(0,), frame_ids=(0, -1, 1),
+        min_depth=0.1, max_depth=100.0)
+
+    def loss(pred_dtype):
+        return photometric.compute_losses(
+            jax.random.PRNGKey(5), batch, out, scales=(0,),
+            frame_ids=(0, -1, 1), disparity_smoothness=1e-3,
+            pred_dtype=pred_dtype)["loss"]
+
+    lf = float(loss(None))
+    lb = float(loss(jnp.bfloat16))
+    # bf16 rounding also flips the min-reprojection winner on near-tied
+    # pixels, biasing the min slightly low — a few % is the expected scale
+    assert abs(lf - lb) < 0.03 * max(abs(lf), 1e-3), (lf, lb)
+
+    # Gradient agreement is asserted on the single SSIM+L1 chain: inside
+    # the full pipeline the min over {identity, frames} is a subgradient
+    # choice, and rounding legitimately flips WHICH candidate receives
+    # gradient on near-tied pixels (valid either way, like ReLU at 0 —
+    # torch amp fp16 does the same at finer granularity), which makes
+    # whole-pipeline per-pixel comparisons meaningless by construction.
+    # dense textured images (the blocky synthetic scene is flat almost
+    # everywhere, where SSIM gradients are ~0 and rounding noise dominates
+    # any per-pixel comparison)
+    rng2 = np.random.default_rng(7)
+    p = jnp.asarray(rng2.uniform(0, 1, (2, 64, 96, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng2.uniform(0, 1, (2, 64, 96, 3)).astype(np.float32))
+
+    def chain(p, dtype):
+        return jnp.mean(photometric.reprojection_loss(p, tgt, dtype=dtype))
+
+    gf = np.asarray(jax.grad(chain)(p, None)).ravel()
+    gb = np.asarray(jax.grad(chain)(p, jnp.bfloat16)).ravel()
+    assert np.linalg.norm(gb) > 0.0
+    cos = float(gf @ gb / (np.linalg.norm(gf) * np.linalg.norm(gb) + 1e-12))
+    assert cos > 0.97, cos
+
+
 def test_depth_metrics_perfect_prediction():
     gt = jnp.asarray(np.random.default_rng(0).uniform(1, 10, (2, 8, 8)).astype(np.float32))
     m = photometric.depth_metrics(gt, gt, jnp.ones_like(gt))
