@@ -80,98 +80,108 @@ def _unpack_pair(g: jnp.ndarray):
 
 
 def _warp_kernel(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *,
-                 h: int, w: int, c: int):
-    """Grid step = one (SUB, w) output band across all channels.
+                 h: int, w: int, c: int, bands: int):
+    """Grid step = `bands` (SUB, w) output bands across all channels
+    (multiple bands per program amortize grid-dispatch/pipeline overhead,
+    which dominates once the candidate loops are short on smooth grids).
 
     src_ref: (1, C, h, w) int32 — sliding-pair packed bf16
              (lane x = (src[y, x], src[y, x+1])).
-    out/dfx/dfy: (1, C, SUB, w) f32.
+    out/dfx/dfy: (1, C, bands*SUB, w) f32.
     """
     n_lt = w // _LANE
 
-    for lt in range(n_lt):
-        ix = ix_ref[0, :, lt * _LANE:(lt + 1) * _LANE].astype(jnp.float32)
-        iy = iy_ref[0, :, lt * _LANE:(lt + 1) * _LANE].astype(jnp.float32)
+    for bp in range(bands):
+        for lt in range(n_lt):
+            _warp_band_tile(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref,
+                            bp=bp, lt=lt, h=h, w=w, c=c)
 
-        # torch border semantics: weights from the unclamped fractional
-        # coordinate, gather indices clamped to the edge
-        ix = jnp.clip(ix, -1.0, float(w))
-        iy = jnp.clip(iy, -1.0, float(h))
-        x0 = jnp.floor(ix)
-        y0 = jnp.floor(iy)
-        fx = ix - x0
-        fy = iy - y0
-        # left-edge clamp: torch uses src[0] for BOTH x-corners (x1c = clip
-        # (x0+1) = 0) but lane 0's sliding pair is (src[0], src[1]) — fold
-        # the clamp into the weight (fx=0 -> picks s0=src[0]) and zero the
-        # dfx subgradient like the clamped-corner difference would be.
-        # The right edge needs nothing: lane w-1 packs (src[w-1], src[w-1]).
-        x_unclamped = (x0 >= 0.0).astype(jnp.float32)
-        fx = fx * x_unclamped
-        x0c = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
-        y0c = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
-        y1c = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
 
-        # dynamic candidate bounds for this tile (exact; tight when local).
-        # Mosaic only allows 8-aligned dynamic sublane starts, so the row loop
-        # walks aligned 8-row groups with a static inner unroll. Only x0
-        # drives the x-tile span: the sliding pair carries x0+1's value.
-        g_lo = jnp.min(y0c) // _SUB
-        g_hi = jnp.max(y1c) // _SUB
-        t_lo = jnp.min(x0c) // _LANE
-        t_hi = jnp.max(x0c) // _LANE
+def _warp_band_tile(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *,
+                    bp: int, lt: int, h: int, w: int, c: int):
+    rows = slice(bp * _SUB, (bp + 1) * _SUB)
+    ix = ix_ref[0, rows, lt * _LANE:(lt + 1) * _LANE].astype(jnp.float32)
+    iy = iy_ref[0, rows, lt * _LANE:(lt + 1) * _LANE].astype(jnp.float32)
 
-        zero = jnp.zeros((_SUB, _LANE), jnp.int32)
+    # torch border semantics: weights from the unclamped fractional
+    # coordinate, gather indices clamped to the edge
+    ix = jnp.clip(ix, -1.0, float(w))
+    iy = jnp.clip(iy, -1.0, float(h))
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    fx = ix - x0
+    fy = iy - y0
+    # left-edge clamp: torch uses src[0] for BOTH x-corners (x1c = clip
+    # (x0+1) = 0) but lane 0's sliding pair is (src[0], src[1]) — fold
+    # the clamp into the weight (fx=0 -> picks s0=src[0]) and zero the
+    # dfx subgradient like the clamped-corner difference would be.
+    # The right edge needs nothing: lane w-1 packs (src[w-1], src[w-1]).
+    x_unclamped = (x0 >= 0.0).astype(jnp.float32)
+    fx = fx * x_unclamped
+    x0c = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+    y0c = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+    y1c = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
 
-        # lane-tile loop OUTER so the per-tile x keys hoist out of the row
-        # loop (carrying bool masks across rows does not legalize in
-        # Mosaic's scf.for — explicit compares instead)
-        def tile_body(xt, accs):
-            xs = pl.multiple_of(xt * _LANE, _LANE)
-            xl0 = x0c - xt * _LANE
-            # fold the in-tile test into the row key: out-of-tile lanes get
-            # key -1 which never matches a row index
-            in_tile = (xl0 >= 0) & (xl0 < _LANE)
-            key0 = jnp.where(in_tile, y0c, -1)
-            key0b = jnp.where(in_tile, y1c, -1)
-            xl0c = jnp.clip(xl0, 0, _LANE - 1)
+    # dynamic candidate bounds for this tile (exact; tight when local).
+    # Mosaic only allows 8-aligned dynamic sublane starts, so the row loop
+    # walks aligned 8-row groups with a static inner unroll. Only x0
+    # drives the x-tile span: the sliding pair carries x0+1's value.
+    g_lo = jnp.min(y0c) // _SUB
+    g_hi = jnp.max(y1c) // _SUB
+    t_lo = jnp.min(x0c) // _LANE
+    t_hi = jnp.max(x0c) // _LANE
 
-            def group_body(rg, accs):
-                rs = pl.multiple_of(rg * _SUB, _SUB)
-                blocks = [src_ref[0, ci, pl.ds(rs, _SUB), pl.ds(xs, _LANE)]
-                          for ci in range(c)]
-                accs = list(accs)
-                for s in range(_SUB):
-                    r = rg * _SUB + s
-                    m_top = key0 == r
-                    m_bot = key0b == r
-                    for ci in range(c):
-                        a_top, a_bot = accs[ci]
-                        seg = jnp.broadcast_to(blocks[ci][s:s + 1, :],
-                                               (_SUB, _LANE))
-                        v = jnp.take_along_axis(seg, xl0c, axis=1)
-                        accs[ci] = (jnp.where(m_top, v, a_top),
-                                    jnp.where(m_bot, v, a_bot))
-                return tuple(accs)
+    zero = jnp.zeros((_SUB, _LANE), jnp.int32)
 
-            return jax.lax.fori_loop(g_lo, g_hi + 1, group_body, accs)
+    # lane-tile loop OUTER so the per-tile x keys hoist out of the row
+    # loop (carrying bool masks across rows does not legalize in
+    # Mosaic's scf.for — explicit compares instead)
+    def tile_body(xt, accs):
+        xs = pl.multiple_of(xt * _LANE, _LANE)
+        xl0 = x0c - xt * _LANE
+        # fold the in-tile test into the row key: out-of-tile lanes get
+        # key -1 which never matches a row index
+        in_tile = (xl0 >= 0) & (xl0 < _LANE)
+        key0 = jnp.where(in_tile, y0c, -1)
+        key0b = jnp.where(in_tile, y1c, -1)
+        xl0c = jnp.clip(xl0, 0, _LANE - 1)
 
-        init = tuple((zero, zero) for _ in range(c))
-        accs = jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, init)
+        def group_body(rg, accs):
+            rs = pl.multiple_of(rg * _SUB, _SUB)
+            blocks = [src_ref[0, ci, pl.ds(rs, _SUB), pl.ds(xs, _LANE)]
+                      for ci in range(c)]
+            accs = list(accs)
+            for s in range(_SUB):
+                r = rg * _SUB + s
+                m_top = key0 == r
+                m_bot = key0b == r
+                for ci in range(c):
+                    a_top, a_bot = accs[ci]
+                    seg = jnp.broadcast_to(blocks[ci][s:s + 1, :],
+                                           (_SUB, _LANE))
+                    v = jnp.take_along_axis(seg, xl0c, axis=1)
+                    accs[ci] = (jnp.where(m_top, v, a_top),
+                                jnp.where(m_bot, v, a_bot))
+            return tuple(accs)
 
-        sl = slice(lt * _LANE, (lt + 1) * _LANE)
-        one_m_fx = 1.0 - fx
-        one_m_fy = 1.0 - fy
-        for ci in range(c):
-            a_top, a_bot = accs[ci]
-            s0t, s1t = _unpack_pair(a_top)   # (g00, g01)
-            s0b, s1b = _unpack_pair(a_bot)   # (g10, g11)
-            top = one_m_fx * s0t + fx * s1t
-            bot = one_m_fx * s0b + fx * s1b
-            out_ref[0, ci, :, sl] = one_m_fy * top + fy * bot
-            dfx_ref[0, ci, :, sl] = (
-                (s1t - s0t) * one_m_fy + (s1b - s0b) * fy) * x_unclamped
-            dfy_ref[0, ci, :, sl] = bot - top
+        return jax.lax.fori_loop(g_lo, g_hi + 1, group_body, accs)
+
+    init = tuple((zero, zero) for _ in range(c))
+    accs = jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, init)
+
+    sl = slice(lt * _LANE, (lt + 1) * _LANE)
+    one_m_fx = 1.0 - fx
+    one_m_fy = 1.0 - fy
+    for ci in range(c):
+        a_top, a_bot = accs[ci]
+        s0t, s1t = _unpack_pair(a_top)   # (g00, g01)
+        s0b, s1b = _unpack_pair(a_bot)   # (g10, g11)
+        top = one_m_fx * s0t + fx * s1t
+        bot = one_m_fx * s0b + fx * s1b
+        out_ref[0, ci, rows, sl] = one_m_fy * top + fy * bot
+        dfx_ref[0, ci, rows, sl] = (
+            (s1t - s0t) * one_m_fy + (s1b - s0b) * fy) * x_unclamped
+        dfy_ref[0, ci, rows, sl] = bot - top
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -187,6 +197,9 @@ def bilinear_warp_corners(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
     n, h, w, c = img.shape
     assert h % _SUB == 0 and w % _LANE == 0, (h, w)
     n_bands = h // _SUB
+    # bands per program: amortizes grid-dispatch/pipeline overhead, which
+    # dominates once candidate loops are short (smooth grids)
+    bands = 4 if n_bands % 4 == 0 else 1
 
     imgb = img.astype(jnp.bfloat16)
     # sliding pairs: lane x packs (src[x], src[x+1 clamped])
@@ -196,14 +209,14 @@ def bilinear_warp_corners(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
     packed = packed.transpose(0, 3, 1, 2)                   # (N, C, H, W)
 
     shape = jax.ShapeDtypeStruct((n, c, h, w), jnp.float32)
-    band = pl.BlockSpec((1, _SUB, w), lambda ni, b: (ni, b, 0),
+    band = pl.BlockSpec((1, bands * _SUB, w), lambda ni, b: (ni, b, 0),
                         memory_space=pltpu.VMEM)
-    band_out = pl.BlockSpec((1, c, _SUB, w), lambda ni, b: (ni, 0, b, 0),
+    band_out = pl.BlockSpec((1, c, bands * _SUB, w), lambda ni, b: (ni, 0, b, 0),
                             memory_space=pltpu.VMEM)
     out, dfx, dfy = pl.pallas_call(
-        functools.partial(_warp_kernel, h=h, w=w, c=c),
+        functools.partial(_warp_kernel, h=h, w=w, c=c, bands=bands),
         out_shape=(shape, shape, shape),
-        grid=(n, n_bands),
+        grid=(n, n_bands // bands),
         in_specs=[
             band,
             band,

@@ -34,7 +34,8 @@ def test_fused_reprojection_band_fallback():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
-def test_warp_kernel_matches_grid_sample():
+@pytest.mark.parametrize("H", [16, 32])  # 32 -> 4 bands/program path
+def test_warp_kernel_matches_grid_sample(H):
     """Pallas bilinear warp (interpret mode): exact forward + gradient
     coefficient planes vs the XLA reference, including border clamps and
     wildly out-of-range samples."""
@@ -43,7 +44,7 @@ def test_warp_kernel_matches_grid_sample():
     from improving_segmentation_with_selfsupervised_depth_tpu.ops.resample import (
         _corners_and_weights, grid_sample)
 
-    N, H, W, C = 2, 16, 128, 3
+    N, W, C = 2, 128, 3
     rng = np.random.default_rng(3)
     img = jnp.asarray(rng.uniform(0, 1, (N, H, W, C)).astype(np.float32))
     gy, gx = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W), indexing="ij")
