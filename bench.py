@@ -72,7 +72,7 @@ REF_TFLOP_PER_IMG = {
 
 H = W = 512
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2400))
-WARMUP_STEPS = int(os.environ.get("BENCH_WARMUP_STEPS", 300))
+WARMUP_STEPS = int(os.environ.get("BENCH_WARMUP_STEPS", 450))
 _T0 = time.time()
 
 
@@ -98,11 +98,15 @@ def _model_cfg(pad: bool = False):
 # the multi_step decay only matters for the steady_state warmup: by step
 # ~WARMUP_STEPS the lr has annealed and the depth/pose have settled into the
 # smooth-grid regime real training lives in; the schedule costs nothing in
-# the timed step (one multiply inside the compiled program)
+# the timed step (one multiply inside the compiled program). Decaying too
+# early freezes whatever roughness the oscillating high-lr phase happened to
+# be at (observed: yspan 133 with milestones at 50%/83%), so the first decay
+# waits until the scene is fit (~55%), then a long 0.1x phase settles it.
 _TRAINING_CFG = {
     "optimizer": {"name": "sgd", "lr": 1e-2, "momentum": 0.9, "backbone_lr": 1e-3},
     "lr_schedule": {"name": "multi_step",
-                    "milestones": [WARMUP_STEPS // 2, 5 * WARMUP_STEPS // 6],
+                    "milestones": [int(WARMUP_STEPS * 0.55),
+                                   int(WARMUP_STEPS * 0.9)],
                     "gamma": 0.1},
     "clip_grad_norm": 10.0,
 }
@@ -207,6 +211,15 @@ def bench_workload(name, model_cfg, step_cfg, batch_size, with_ema=False,
         res["cold"]["grid_yspan_px"] = _grid_yspan(model, step_cfg, state, batch)
         for _ in range(WARMUP_STEPS):
             state, _ = compiled(state, batch, ubatch, rng)
+        # warmup trajectories vary; extend while the grids are still rough
+        # (bounded) so steady_state means what it says
+        yspan = _grid_yspan(model, step_cfg, state, batch)
+        extra = 0
+        while yspan > 80 and extra < 3 and time.time() - _T0 < BUDGET_S:
+            for _ in range(150):
+                state, _ = compiled(state, batch, ubatch, rng)
+            yspan = _grid_yspan(model, step_cfg, state, batch)
+            extra += 1
         dt_ss, state = _time(compiled, state, batch, ubatch, rng, n_steps)
         res["steady_state"] = stats(dt_ss)
         res["steady_state"]["grid_yspan_px"] = _grid_yspan(model, step_cfg,
