@@ -88,7 +88,10 @@ class DepthDecoder(nn.Module):
                               name=f"upconv_{i}_1")(x, train=train)
             outputs[f"upconv_{i}"] = x
             if i in self.scales and self.enable_disparity:
+                # pad_out_to=8: XLA's C_out=1 conv lowering runs ~50x below
+                # MXU rate; zero-padded output channels (sliced away) are
+                # mathematically identical and lower well (see layers.py)
                 disp = Conv3x3(self.num_output_channels, dtype=self.dtype,
-                               name=f"dispconv_{i}")(x)
+                               pad_out_to=8, name=f"dispconv_{i}")(x)
                 outputs[f"disp_{i}"] = nn.sigmoid(disp.astype(jnp.float32))
         return outputs

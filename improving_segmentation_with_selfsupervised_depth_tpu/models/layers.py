@@ -89,6 +89,12 @@ class Conv3x3(nn.Module):
 
     out_ch: int
     use_refl: bool = True
+    # zero-pad the kernel's output channels to this width at call time and
+    # slice the result back: EXACT same math (zero filters produce discarded
+    # zeros) but avoids XLA's pathological C_out=1 conv lowering — the disp
+    # heads measured 0.8-2.2 TF/s vs 50-90 for the neighboring convs. Param
+    # tree unchanged.
+    pad_out_to: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -98,9 +104,16 @@ class Conv3x3(nn.Module):
             mode = "reflect" if self.use_refl else "constant"
             cin = x.shape[-1]
             kernel, bias = _Conv3x3Params(self.out_ch, cin, name="Conv_0")()
+            if self.pad_out_to > self.out_ch:
+                pad = self.pad_out_to - self.out_ch
+                kernel = jnp.pad(kernel, [(0, 0)] * 3 + [(0, pad)])
+                bias = jnp.pad(bias, [(0, pad)])
             xpad = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode=mode)
             out = _conv_nhwc(xpad, kernel, self.dtype)
-            return out + bias.astype(self.dtype)
+            out = out + bias.astype(self.dtype)
+            if self.pad_out_to > self.out_ch:
+                out = out[..., :self.out_ch]
+            return out
         assert self.use_refl  # decoder stages always reflect-pad
         c_up = x.shape[-1]
         c_skip = 0 if skip is None else skip.shape[-1]
