@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from ..ops.resize import resize_bilinear
 from .depth_decoder import DepthDecoder
-from .layers import SelfAttention, kaiming_out
+from .layers import PaddedConv1x1, SelfAttention, kaiming_out
 
 
 def _get_layer(encoder_features, decoder_outputs, layer: int):
@@ -75,8 +75,8 @@ class JointSegDepthDecoder(nn.Module):
                              dtype=self.dtype, name="head_bn")(x)
             x = nn.relu(x)
             x = nn.Dropout(self.head_dropout, deterministic=not train)(x)
-        score = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
-                        kernel_init=kaiming_out, name="classifier")(x)
+        score = PaddedConv1x1(self.num_classes, dtype=self.dtype,
+                              name="classifier")(x)
         if last_size != tuple(seg_size):
             score = resize_bilinear(score, seg_size, align_corners=False)
         return score.astype(jnp.float32)
@@ -118,8 +118,8 @@ class PAD(nn.Module):
 
         intermediate_seg = None
         if self.side_output:
-            intermediate_seg = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
-                                       kernel_init=kaiming_out, name="seg_intermediate_head")(
+            intermediate_seg = PaddedConv1x1(self.num_classes, dtype=self.dtype,
+                                             name="seg_intermediate_head")(
                 seg_features[inter_key]
             ).astype(jnp.float32)
 
@@ -136,8 +136,8 @@ class PAD(nn.Module):
             depth_dec(encoder_features, x=merged_for_depth, exec_layer=second_half, train=train))
         seg_features = seg_dec(encoder_features, x=merged_for_seg, exec_layer=second_half,
                                train=train)
-        final_seg = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
-                            kernel_init=kaiming_out, name="seg_final_head")(
+        final_seg = PaddedConv1x1(self.num_classes, dtype=self.dtype,
+                                  name="seg_final_head")(
             _get_layer(None, seg_features, self.final_layer)
         ).astype(jnp.float32)
 
