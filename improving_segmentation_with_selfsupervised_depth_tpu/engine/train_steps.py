@@ -63,6 +63,10 @@ class StepConfig:
     # SSIM/L1 chain compute dtype; bf16 under amp (the reference autocasts
     # the SSIM module to fp16 when monodepth configs set amp: true)
     photometric_dtype: Any = None
+    # route the per-scale (gradient-path) reprojection error through the
+    # fused Pallas SSIM+L1 kernel instead of the XLA chain (A/B knob;
+    # training.fused_reprojection in configs)
+    fused_pred_loss: bool = False
     # model-level switches
     disable_monodepth: bool = False
     disable_pose: bool = False
@@ -117,7 +121,7 @@ def _monodepth_loss(cfg: StepConfig, rng, batch, outputs):
         scales=cfg.scales, frame_ids=cfg.frame_ids,
         disparity_smoothness=cfg.disparity_smoothness, no_ssim=cfg.no_ssim,
         avg_reprojection=cfg.avg_reprojection, disable_automasking=cfg.disable_automasking,
-        pred_dtype=cfg.photometric_dtype,
+        pred_dtype=cfg.photometric_dtype, fused_pred=cfg.fused_pred_loss,
     )
     return losses["loss"], outputs
 
@@ -426,6 +430,7 @@ def step_config_from_cfg(cfg: Dict[str, Any]) -> StepConfig:
         disparity_smoothness=mono.get("disparity_smoothness", 1e-3),
         no_ssim=mono.get("no_ssim", False),
         photometric_dtype=jnp.bfloat16 if t.get("amp", False) else None,
+        fused_pred_loss=t.get("fused_reprojection", False),
         avg_reprojection=mono.get("avg_reprojection", False),
         disable_automasking=mono.get("disable_automasking", False),
         disable_monodepth=m.get("disable_monodepth", False),

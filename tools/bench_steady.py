@@ -97,6 +97,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--bf16-photo", action="store_true",
                     help="compute the SSIM/L1 chain in bf16 (amp parity)")
+    ap.add_argument("--fused-pred", action="store_true",
+                    help="route the per-scale reprojection through the fused "
+                         "Pallas SSIM kernel")
     args = ap.parse_args()
     BATCH = args.batch
 
@@ -108,7 +111,8 @@ def main():
     state = create_train_state(model, jax.random.PRNGKey(0), batch, tx)
     cfg = StepConfig(monodepth_lambda=1.0, segmentation_lambda=1.0,
                      frame_ids=(0, -1, 1), scales=(0, 1, 2, 3),
-                     photometric_dtype=jnp.bfloat16 if args.bf16_photo else None)
+                     photometric_dtype=jnp.bfloat16 if args.bf16_photo else None,
+                     fused_pred_loss=args.fused_pred)
     step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
     rng = jax.random.PRNGKey(0)
     t_compile0 = time.time()
