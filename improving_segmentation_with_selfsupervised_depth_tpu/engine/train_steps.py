@@ -67,6 +67,11 @@ class StepConfig:
     # fused Pallas SSIM+L1 kernel instead of the XLA chain (A/B knob;
     # training.fused_reprojection in configs)
     fused_pred_loss: bool = False
+    # "pack": one multi-grid warp call per source frame, NCHW color_pred and
+    # an NCHW SSIM/L1 chain (no full-res layout copies); "nhwc": one warp
+    # call per (frame, scale) with NHWC outputs (A/B + debugging knob;
+    # training.pred_layout in configs). Same math either way.
+    pred_layout: str = "pack"
     # model-level switches
     disable_monodepth: bool = False
     disable_pose: bool = False
@@ -115,6 +120,7 @@ def _monodepth_loss(cfg: StepConfig, rng, batch, outputs):
     outputs = photometric.generate_images_pred(
         batch, outputs, scales=cfg.scales, frame_ids=cfg.frame_ids,
         min_depth=cfg.min_depth, max_depth=cfg.max_depth,
+        pred_layout=cfg.pred_layout,
     )
     losses = photometric.compute_losses(
         rng, batch, outputs,
@@ -122,6 +128,7 @@ def _monodepth_loss(cfg: StepConfig, rng, batch, outputs):
         disparity_smoothness=cfg.disparity_smoothness, no_ssim=cfg.no_ssim,
         avg_reprojection=cfg.avg_reprojection, disable_automasking=cfg.disable_automasking,
         pred_dtype=cfg.photometric_dtype, fused_pred=cfg.fused_pred_loss,
+        pred_layout=cfg.pred_layout,
     )
     return losses["loss"], outputs
 
@@ -431,6 +438,7 @@ def step_config_from_cfg(cfg: Dict[str, Any]) -> StepConfig:
         no_ssim=mono.get("no_ssim", False),
         photometric_dtype=jnp.bfloat16 if t.get("amp", False) else None,
         fused_pred_loss=t.get("fused_reprojection", False),
+        pred_layout=t.get("pred_layout", "pack"),
         avg_reprojection=mono.get("avg_reprojection", False),
         disable_automasking=mono.get("disable_automasking", False),
         disable_monodepth=m.get("disable_monodepth", False),

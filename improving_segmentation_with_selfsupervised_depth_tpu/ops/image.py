@@ -41,6 +41,34 @@ def ssim(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip((1.0 - ssim_n / ssim_d) * 0.5, 0.0, 1.0)
 
 
+def _avg_pool3x3_valid_nchw(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3/stride-1 VALID average pool over the last two (H, W) dims."""
+    s = lax.reduce_window(x, 0.0, lax.add, (1, 1, 3, 3), (1, 1, 1, 1), "VALID")
+    return s / 9.0
+
+
+def ssim_nchw(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """`ssim` for NCHW tensors — same math, windows over the trailing (H, W)
+    dims. The photometric loss consumes the Pallas warp kernel's native NCHW
+    output directly (ops/resample.py grid_sample_pack_nchw), and (H, W)-minor
+    is also the layout reduce_window tiles best on TPU."""
+    c1 = 0.01**2
+    c2 = 0.03**2
+    pad = [(0, 0), (0, 0), (1, 1), (1, 1)]
+    xp = jnp.pad(x, pad, mode="reflect")
+    yp = jnp.pad(y, pad, mode="reflect")
+
+    mu_x = _avg_pool3x3_valid_nchw(xp)
+    mu_y = _avg_pool3x3_valid_nchw(yp)
+    sigma_x = _avg_pool3x3_valid_nchw(xp * xp) - mu_x * mu_x
+    sigma_y = _avg_pool3x3_valid_nchw(yp * yp) - mu_y * mu_y
+    sigma_xy = _avg_pool3x3_valid_nchw(xp * yp) - mu_x * mu_y
+
+    ssim_n = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    ssim_d = (mu_x * mu_x + mu_y * mu_y + c1) * (sigma_x + sigma_y + c2)
+    return jnp.clip((1.0 - ssim_n / ssim_d) * 0.5, 0.0, 1.0)
+
+
 def smoothness_loss(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
     """Edge-aware disparity smoothness (scalar).
 

@@ -184,17 +184,28 @@ def _warp_band_tile(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *,
         dfy_ref[0, ci, rows, sl] = bot - top
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bilinear_warp_corners(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
-                          interpret: bool = False):
-    """Warp `img` (N, H, W, C) at unnormalized sample coords ix/iy (N, H, W).
+@functools.partial(jax.jit, static_argnames=("reps", "interpret"))
+def bilinear_warp_corners_nchw(img: jnp.ndarray, ix: jnp.ndarray,
+                               iy: jnp.ndarray, reps: int = 1,
+                               interpret: bool = False):
+    """Warp `img` (N, H, W, C) at `reps` grids per image, NCHW outputs.
 
-    Returns (out, dfx, dfy), each (N, H, W, C) float32: the bilinear sample
-    and the two grid-gradient coefficient planes (see module docstring).
-    Pixel values round through bf16 (sliding-pair packing); indices and
-    blending are f32. Requires H % 8 == 0 and W % 128 == 0.
+    ix/iy have shape (N*reps, H, W); grid g samples img[g // reps]. One
+    pallas_call serves all grids of all images — the photometric loss warps
+    each source frame at 4 scales, and merging those calls amortizes the
+    sliding-pair packing prologue and the per-call dispatch overhead 4x.
+    Grid-major flattening is (image, rep) so the source block index is
+    constant across consecutive programs (Pallas skips the re-DMA).
+
+    Returns (out, dfx, dfy), each (N*reps, C, H, W) float32 — NCHW, the
+    kernel's native block layout; consumers that want NHWC transpose (the
+    photometric loss consumes NCHW directly to avoid 3 full-res layout
+    copies per warp). Pixel values round through bf16 (sliding-pair
+    packing); indices and blending are f32. H % 8 == 0, W % 128 == 0.
     """
     n, h, w, c = img.shape
+    m = ix.shape[0]
+    assert m == n * reps, (img.shape, ix.shape, reps)
     assert h % _SUB == 0 and w % _LANE == 0, (h, w)
     n_bands = h // _SUB
     # bands per program: amortizes grid-dispatch/pipeline overhead, which
@@ -208,7 +219,7 @@ def bilinear_warp_corners(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
         jnp.stack([imgb, nxt], axis=-1), jnp.int32)        # (N, H, W, C)
     packed = packed.transpose(0, 3, 1, 2)                   # (N, C, H, W)
 
-    shape = jax.ShapeDtypeStruct((n, c, h, w), jnp.float32)
+    shape = jax.ShapeDtypeStruct((m, c, h, w), jnp.float32)
     band = pl.BlockSpec((1, bands * _SUB, w), lambda ni, b: (ni, b, 0),
                         memory_space=pltpu.VMEM)
     band_out = pl.BlockSpec((1, c, bands * _SUB, w), lambda ni, b: (ni, 0, b, 0),
@@ -216,16 +227,29 @@ def bilinear_warp_corners(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
     out, dfx, dfy = pl.pallas_call(
         functools.partial(_warp_kernel, h=h, w=w, c=c, bands=bands),
         out_shape=(shape, shape, shape),
-        grid=(n, n_bands // bands),
+        grid=(m, n_bands // bands),
         in_specs=[
             band,
             band,
-            pl.BlockSpec((1, c, h, w), lambda ni, b: (ni, 0, 0, 0),
+            pl.BlockSpec((1, c, h, w), lambda ni, b: (ni // reps, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(band_out, band_out, band_out),
         interpret=interpret,
     )(ix.astype(jnp.float32), iy.astype(jnp.float32), packed)
+    return out, dfx, dfy
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bilinear_warp_corners(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
+                          interpret: bool = False):
+    """Single-grid NHWC convenience wrapper over the NCHW kernel.
+
+    Returns (out, dfx, dfy), each (N, H, W, C) float32 (transposed from the
+    kernel's native NCHW — hot callers use the NCHW entry directly).
+    """
+    out, dfx, dfy = bilinear_warp_corners_nchw(img, ix, iy, reps=1,
+                                               interpret=interpret)
     tr = lambda x: x.transpose(0, 2, 3, 1)
     return tr(out), tr(dfx), tr(dfy)
 

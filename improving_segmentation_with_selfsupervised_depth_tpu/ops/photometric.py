@@ -30,8 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from .geometry import backproject_depth, disp_to_depth, project_3d
-from .image import smoothness_loss, ssim
-from .resample import grid_sample_nograd_image
+from .image import smoothness_loss, ssim, ssim_nchw
+from .resample import grid_sample_nograd_image, grid_sample_pack_nchw
 from .resize import resize_bilinear
 
 
@@ -68,6 +68,21 @@ def reprojection_loss(pred: jnp.ndarray, target: jnp.ndarray, no_ssim: bool = Fa
     return (0.85 * ssim_term + 0.15 * l1).astype(jnp.float32)
 
 
+def reprojection_loss_nchw(pred: jnp.ndarray, target: jnp.ndarray,
+                           no_ssim: bool = False, dtype=None) -> jnp.ndarray:
+    """`reprojection_loss` for NCHW pred/target — same math in the Pallas warp
+    kernel's native layout (no full-res NCHW->NHWC copies on the hot path).
+    Returns (N, H, W, 1) f32 like the NHWC form."""
+    if dtype is not None:
+        pred = pred.astype(dtype)
+        target = target.astype(dtype)
+    l1 = jnp.mean(jnp.abs(target - pred), axis=1)
+    if no_ssim:
+        return l1[..., None].astype(jnp.float32)
+    ssim_term = jnp.mean(ssim_nchw(pred, target), axis=1)
+    return (0.85 * ssim_term + 0.15 * l1)[..., None].astype(jnp.float32)
+
+
 def generate_images_pred(
     inputs: Dict[str, jnp.ndarray],
     outputs: Dict[str, jnp.ndarray],
@@ -76,14 +91,22 @@ def generate_images_pred(
     frame_ids: Sequence[Any],
     min_depth: float,
     max_depth: float,
+    pred_layout: str = "nhwc",
 ) -> Dict[str, jnp.ndarray]:
     """Warp source frames into the target view per scale.
 
     Returns a new dict with `depth_0_{s}` and `color_pred_{f}_{s}` added.
     Reference loss/monodepth_loss.py:64-102.
+
+    `pred_layout="pack"` (the train-step hot path) batches the 4 scale grids
+    of each source frame into ONE packed warp call and stores the
+    `color_pred_{f}_{s}` tensors in the kernel's native NCHW layout — the
+    matching `compute_losses(pred_layout="pack")` consumes them without any
+    full-res layout copies. Same math either way (tests pin equivalence).
     """
     out = dict(outputs)
     full_h, full_w = inputs[key_of("color", 0, 0)].shape[1:3]
+    frame_grids = {f: [] for f in frame_ids[1:]}
     for scale in scales:
         disp = outputs[key_of("disp", scale)]
         disp = resize_bilinear(disp, (full_h, full_w), align_corners=False)
@@ -98,11 +121,22 @@ def generate_images_pred(
                 T = outputs[key_of("cam_T_cam", 0, frame_id)]
             pix_coords = project_3d(cam_points, inputs[key_of("K", 0)], T, full_h, full_w)
             out[key_of("sample", frame_id, scale)] = pix_coords
-            # source frames are data (never differentiated): use the
-            # corner-saving custom-VJP warp whose backward is gather-free
-            out[key_of("color_pred", frame_id, scale)] = grid_sample_nograd_image(
-                jax.lax.stop_gradient(inputs[key_of("color", frame_id, 0)]), pix_coords
-            )
+            if pred_layout == "pack":
+                frame_grids[frame_id].append(pix_coords)
+            else:
+                # source frames are data (never differentiated): use the
+                # corner-saving custom-VJP warp whose backward is gather-free
+                out[key_of("color_pred", frame_id, scale)] = grid_sample_nograd_image(
+                    jax.lax.stop_gradient(inputs[key_of("color", frame_id, 0)]),
+                    pix_coords,
+                )
+    if pred_layout == "pack":
+        for frame_id in frame_ids[1:]:
+            grids = jnp.stack(frame_grids[frame_id], axis=1)  # (N, S, H, W, 2)
+            warped = grid_sample_pack_nchw(
+                jax.lax.stop_gradient(inputs[key_of("color", frame_id, 0)]), grids)
+            for si, scale in enumerate(scales):
+                out[key_of("color_pred", frame_id, scale)] = warped[:, si]
     return out
 
 
@@ -119,6 +153,7 @@ def compute_losses(
     disable_automasking: bool = False,
     fused_pred: bool = False,
     pred_dtype=None,
+    pred_layout: str = "nhwc",
 ) -> Dict[str, jnp.ndarray]:
     """Min-reprojection photometric loss with automasking + smoothness.
 
@@ -130,10 +165,15 @@ def compute_losses(
     521 vs 503 ms at bs8 512^2; isolated fwd 3.5 vs 3.4 ms), so the XLA
     chain stays the default on the gradient path; the identity/eval paths
     keep the forward kernel.
+
+    `pred_layout="pack"` consumes NCHW `color_pred_{f}_{s}` tensors from
+    `generate_images_pred(pred_layout="pack")` — the SSIM/L1 chain runs in
+    the warp kernel's native layout (the target is transposed once).
     """
     losses: Dict[str, jnp.ndarray] = {}
     total_loss = 0.0
     target = inputs[key_of("color", 0, 0)]
+    target_chw = jnp.transpose(target, (0, 3, 1, 2)) if pred_layout == "pack" else None
 
     # Identity reprojection losses are scale-independent; hoist out of the loop
     # (the reference recomputes them per scale — same math, wasted FLOPs).
@@ -149,29 +189,40 @@ def compute_losses(
             ],
             axis=-1,
         )
+        if avg_reprojection:
+            identity_losses = jnp.mean(identity_losses, axis=-1, keepdims=True)
+        # 1e-5 tie-break noise (reference loss/monodepth_loss.py:163-164).
+        # The reference draws fresh noise per scale; one draw shared across
+        # scales is the same tie-break semantics (the noise only breaks
+        # exact identity-vs-reprojection ties) for 1/len(scales) the
+        # generation cost — and it makes the noised identity map
+        # scale-invariant, computed once here.
+        rng, sub = jax.random.split(rng)
+        identity_losses = identity_losses + jax.random.normal(
+            sub, identity_losses.shape) * 1e-5
 
     for scale in scales:
         disp = outputs[key_of("disp", scale)]
         color = inputs[key_of("color", 0, scale)]
 
-        reproj = jnp.concatenate(
-            [
-                reprojection_loss(outputs[key_of("color_pred", f, scale)], target,
-                                  no_ssim, fused=fused_pred, dtype=pred_dtype)
-                for f in frame_ids[1:]
-            ],
-            axis=-1,
-        )
+        def _pred_loss(f, scale=scale):
+            pred = outputs[key_of("color_pred", f, scale)]
+            if pred_layout == "pack":
+                if fused_pred and not no_ssim:
+                    # fused kernel consumes NHWC (eval-only path)
+                    return reprojection_loss(pred.transpose(0, 2, 3, 1), target,
+                                             no_ssim, fused=True, dtype=pred_dtype)
+                return reprojection_loss_nchw(pred, target_chw, no_ssim,
+                                              dtype=pred_dtype)
+            return reprojection_loss(pred, target, no_ssim, fused=fused_pred,
+                                     dtype=pred_dtype)
+
+        reproj = jnp.concatenate([_pred_loss(f) for f in frame_ids[1:]], axis=-1)
         if avg_reprojection:
             reproj = jnp.mean(reproj, axis=-1, keepdims=True)
 
         if not disable_automasking:
-            ident = identity_losses
-            if avg_reprojection:
-                ident = jnp.mean(ident, axis=-1, keepdims=True)
-            rng, sub = jax.random.split(rng)
-            ident = ident + jax.random.normal(sub, ident.shape) * 1e-5
-            combined = jnp.concatenate([ident, reproj], axis=-1)
+            combined = jnp.concatenate([identity_losses, reproj], axis=-1)
         else:
             combined = reproj
 

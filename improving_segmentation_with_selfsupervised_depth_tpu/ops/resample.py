@@ -199,6 +199,97 @@ def _gs_bwd(res, ct):
 grid_sample_nograd_image.defvjp(_gs_fwd, _gs_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Packed multi-grid warp (NCHW outputs) — the photometric-loss hot path.
+# ---------------------------------------------------------------------------
+
+
+def _pack_fallback_coeffs(img, grids):
+    """XLA f32 reference for the packed warp: per-grid 4-corner gather.
+
+    Returns (out, dfx, dfy) each (N, S, C, H, W) float32.
+    """
+    n, s = grids.shape[:2]
+    outs, dfxs, dfys = [], [], []
+    for si in range(s):
+        corners, (fx, fy), _ = _corners_and_weights(img, grids[:, si], True)
+        g00, g01, g10, g11 = (g.astype(jnp.float32) for g in corners)
+        out = _blend(corners, fx, fy, jnp.float32)
+        dfx = (g01 - g00) * (1.0 - fy)[..., None] + (g11 - g10) * fy[..., None]
+        dfy = (g10 - g00) * (1.0 - fx)[..., None] + (g11 - g01) * fx[..., None]
+        tr = lambda x: x.transpose(0, 3, 1, 2)
+        outs.append(tr(out))
+        dfxs.append(tr(dfx))
+        dfys.append(tr(dfy))
+    st = lambda xs: jnp.stack(xs, axis=1)
+    return st(outs), st(dfxs), st(dfys)
+
+
+def _pack_warp_coeffs(img, grids):
+    """(out, dfx, dfy) each (N, S, C, H, W) f32 for `grids` (N, S, H, W, 2),
+    dispatching to the multi-grid Pallas kernel (one call for all S grids —
+    shared packing prologue, no output layout transposes) or the XLA f32
+    fallback, shard_mapped over the batch axis on a multi-device mesh."""
+    n, s, h, w, _ = grids.shape
+    if _pallas_dispatch(img, grids[:, 0]) is None:
+        return _pack_fallback_coeffs(img, grids)
+
+    from jax.sharding import PartitionSpec as P
+
+    from .pallas.warp import bilinear_warp_corners_nchw, unnormalize_grid
+
+    interpret = _WARP_CONFIG["interpret"]
+    c = img.shape[-1]
+
+    def f(im, gr):
+        flat = gr.reshape(-1, h, w, 2)  # (n_local*S, H, W, 2), image-major
+        ix, iy = unnormalize_grid(flat, h, w)
+        out, dfx, dfy = bilinear_warp_corners_nchw(im, ix, iy, reps=s,
+                                                   interpret=interpret)
+        rs = lambda x: x.reshape(-1, s, c, h, w)
+        return rs(out), rs(dfx), rs(dfy)
+
+    if _pallas_dispatch(img, grids[:, 0]) == "shard_map":
+        spec = P(_WARP_CONFIG["axis_name"])
+        f = jax.shard_map(f, mesh=_WARP_CONFIG["mesh"], in_specs=(spec, spec),
+                          out_specs=(spec, spec, spec), check_vma=False)
+    return f(img, grids)
+
+
+@jax.custom_vjp
+def grid_sample_pack_nchw(img: jnp.ndarray, grids: jnp.ndarray) -> jnp.ndarray:
+    """Warp `img` (N, H, W, C) at S grids at once -> (N, S, C, H, W).
+
+    The packed, layout-native form of `grid_sample_nograd_image`: the
+    photometric loss warps each source frame at every scale, so it batches
+    the 4 scale grids (`grids` (N, S, H, W, 2), torch grid_sample
+    convention, border/align_corners=True) into ONE kernel call per source
+    frame and consumes the NCHW result directly — no per-call packing
+    prologue and no full-res NCHW->NHWC copies. `img` is data (never
+    differentiated); the custom VJP is elementwise in the grid gradient.
+    """
+    return _pack_warp_coeffs(img, grids)[0].astype(img.dtype)
+
+
+def _gsp_fwd(img, grids):
+    out, dfx, dfy = _pack_warp_coeffs(img, grids)
+    h, w = img.shape[1:3]
+    dtype_token = jnp.zeros((0,), img.dtype)
+    return out.astype(img.dtype), (dfx, dfy, w, h, img.shape, dtype_token)
+
+
+def _gsp_bwd(res, ct):
+    dfx, dfy, w, h, img_shape, dtype_token = res
+    ct = ct.astype(jnp.float32)
+    dgx = jnp.sum(ct * dfx, axis=2) * (0.5 * (w - 1))   # (N, S, H, W)
+    dgy = jnp.sum(ct * dfy, axis=2) * (0.5 * (h - 1))
+    dgrids = jnp.stack([dgx, dgy], axis=-1)
+    return jnp.zeros(img_shape, dtype_token.dtype), dgrids
+
+
+grid_sample_pack_nchw.defvjp(_gsp_fwd, _gsp_bwd)
+
+
 def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:
     """Bilinear sampling of `img` (N, H, W, C) at `grid` (N, Hg, Wg, 2).
 

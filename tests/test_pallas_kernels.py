@@ -97,3 +97,33 @@ def test_fused_reprojection_backward_matches_autodiff():
         got = fused_reprojection_error_grad(p, target, g, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_warp_kernel_multi_grid_matches_single():
+    """bilinear_warp_corners_nchw with reps=2 (the packed photometric form)
+    equals two single-grid calls; grid g must sample img[g // reps]."""
+    from improving_segmentation_with_selfsupervised_depth_tpu.ops.pallas.warp import (
+        bilinear_warp_corners, bilinear_warp_corners_nchw, unnormalize_grid)
+
+    N, H, W, C, S = 2, 16, 128, 3, 2
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.uniform(0, 1, (N, H, W, C)).astype(np.float32))
+    grids = rng.uniform(-1.2, 1.2, (N, S, H, W, 2)).astype(np.float32)
+
+    ix, iy = unnormalize_grid(jnp.asarray(grids.reshape(N * S, H, W, 2)), H, W)
+    out, dfx, dfy = bilinear_warp_corners_nchw(img, ix, iy, reps=S,
+                                               interpret=True)
+    assert out.shape == (N * S, C, H, W)
+
+    for n in range(N):
+        for s in range(S):
+            ix1, iy1 = unnormalize_grid(jnp.asarray(grids[n:n + 1, s]), H, W)
+            o1, fx1, fy1 = bilinear_warp_corners(img[n:n + 1], ix1, iy1,
+                                                 interpret=True)
+            g = n * S + s
+            np.testing.assert_array_equal(
+                np.asarray(out[g]), np.asarray(o1[0].transpose(2, 0, 1)))
+            np.testing.assert_array_equal(
+                np.asarray(dfx[g]), np.asarray(fx1[0].transpose(2, 0, 1)))
+            np.testing.assert_array_equal(
+                np.asarray(dfy[g]), np.asarray(fy1[0].transpose(2, 0, 1)))

@@ -137,3 +137,33 @@ def test_depth_metrics_known_offset():
     np.testing.assert_allclose(float(m["abs_rel"]), 0.5, rtol=1e-5)
     np.testing.assert_allclose(float(m["rms"]), 1.0, rtol=1e-5)
     assert float(m["a1"]) == 0.0  # ratio 1.5 > 1.25
+
+
+def test_pack_layout_matches_nhwc():
+    """pred_layout="pack" (batched NCHW warp + NCHW SSIM/L1 chain) computes
+    the same photometric loss and disp gradients as the per-scale NHWC path
+    (both on the XLA f32 fallback here)."""
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(2, 64, 96, num_scales=2).items()}
+    outputs = _outputs_for(batch, scales=(0, 1))
+
+    def loss(disp0, layout):
+        out = dict(outputs)
+        out[key_of("disp", 0)] = disp0
+        out = photometric.generate_images_pred(
+            batch, out, scales=(0, 1), frame_ids=(0, -1, 1),
+            min_depth=0.1, max_depth=100.0, pred_layout=layout)
+        for s in (0, 1):
+            expect = (2, 3, 64, 96) if layout == "pack" else (2, 64, 96, 3)
+            assert out[key_of("color_pred", 1, s)].shape == expect
+        return photometric.compute_losses(
+            jax.random.PRNGKey(3), batch, out, scales=(0, 1),
+            frame_ids=(0, -1, 1), disparity_smoothness=1e-3,
+            pred_layout=layout)["loss"]
+
+    disp0 = outputs[key_of("disp", 0)]
+    l_nhwc, g_nhwc = jax.value_and_grad(loss)(disp0, "nhwc")
+    l_pack, g_pack = jax.value_and_grad(loss)(disp0, "pack")
+    np.testing.assert_allclose(float(l_nhwc), float(l_pack), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_nhwc), np.asarray(g_pack),
+                               atol=1e-6, rtol=1e-5)
