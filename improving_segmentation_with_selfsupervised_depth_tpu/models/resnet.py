@@ -96,50 +96,6 @@ class _Bottleneck(nn.Module):
         return nn.relu(y + identity)
 
 
-class _StemConv(nn.Module):
-    """Drop-in for the stem `nn.Conv(features, (7, 7), strides=2, padding=3,
-    use_bias=False)`, computed via space-to-depth: the 7x7/stride-2 conv on
-    (H, W, Cin) is re-expressed exactly as a 4x4/stride-1 conv on the 2x2
-    space-to-depth tensor (H/2, W/2, 4*Cin) with rearranged (zero-padded 8x8)
-    weights. Cin=3 convs run far below MXU rate on TPU (the input channel dim
-    can't fill the systolic array's contraction lanes); packing 2x2 pixel
-    blocks into channels quadruples the contraction depth and halves the
-    spatial extent — the standard TPU ResNet-stem formulation. The param tree
-    ("kernel", (7, 7, Cin, features)) is unchanged, so torch checkpoint
-    conversion and all init/transfer paths are unaffected.
-    """
-
-    features: int = 64
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        import jax.lax as lax
-
-        cin = x.shape[-1]
-        assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, x.shape
-        kernel = self.param("kernel", kaiming_out, (7, 7, cin, self.features))
-        # w8[2u+a, 2v+b, c, o] -> ws[u, v, (a, b, c), o]
-        w8 = jnp.pad(kernel, [(0, 1), (0, 1), (0, 0), (0, 0)])
-        ws = (w8.reshape(4, 2, 4, 2, cin, self.features)
-              .transpose(0, 2, 1, 3, 4, 5)
-              .reshape(4, 4, 4 * cin, self.features))
-        # y[i] = sum_di w[di] * xp[2i + di] with xp = x padded 3 on the left;
-        # right pad 5 keeps the length even for the 2x2 block reshape (the
-        # extra taps hit w8's zero row/col or are sliced away below)
-        xp = jnp.pad(x, [(0, 0), (3, 5), (3, 5), (0, 0)])
-        n, hp, wp, _ = xp.shape
-        xs = (xp.reshape(n, hp // 2, 2, wp // 2, 2, cin)
-              .transpose(0, 1, 3, 2, 4, 5)
-              .reshape(n, hp // 2, wp // 2, 4 * cin))
-        out = lax.conv_general_dilated(
-            xs.astype(self.dtype), ws.astype(self.dtype), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        h_out = (x.shape[1] + 1) // 2
-        w_out = (x.shape[2] + 1) // 2
-        return out[:, :h_out, :w_out, :]
-
-
 class ResNetEncoder(nn.Module):
     """5-scale feature pyramid: returns [f0 (stride 2), f1 (4), f2, f3, f4].
 
@@ -164,7 +120,12 @@ class ResNetEncoder(nn.Module):
         dilate = self.replace_stride_with_dilation or (False, False, False)
 
         x = (x - 0.45) / 0.225  # baked-in normalization (resnet_encoder.py:92)
-        x = _StemConv(64, dtype=self.dtype, name="conv1")(x)
+        # NOTE: a space-to-depth stem (7x7/s2 Cin=3 re-expressed as 4x4/s1 on
+        # the 2x2-packed input, the classic TPU ResNet trick) measured ~5 ms
+        # SLOWER in-step on v5e (253.6 vs 248.4 ms steady, bs8 512^2) — the
+        # full-res 6D relayout outweighs the conv win here. docs/profile_r03.md.
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    dtype=self.dtype, kernel_init=kaiming_out, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="bn1")(x)
         f0 = nn.relu(x)

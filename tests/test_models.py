@@ -228,27 +228,3 @@ def test_fused_up2_conv_matches_materialized():
     np.testing.assert_allclose(np.asarray(fused1), np.asarray(ref1),
                                atol=1e-5, rtol=1e-5)
 
-
-def test_stem_conv_space_to_depth_matches_7x7():
-    """_StemConv's space-to-depth 4x4 formulation is the exact 7x7/stride-2/
-    pad-3 stem conv (same params, same output) for both Cin=3 and the pose
-    encoder's stacked-frame Cin=6."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from jax import lax
-
-    from improving_segmentation_with_selfsupervised_depth_tpu.models.resnet import _StemConv
-
-    rng = np.random.default_rng(0)
-    for cin, hw in ((3, (64, 96)), (6, (32, 128))):
-        x = jnp.asarray(rng.standard_normal((2, *hw, cin)).astype(np.float32))
-        m = _StemConv(16)
-        params = m.init(jax.random.PRNGKey(0), x)
-        got = m.apply(params, x)
-        ref = lax.conv_general_dilated(
-            x, params["params"]["kernel"], (2, 2), [(3, 3), (3, 3)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        assert got.shape == ref.shape
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   atol=2e-5, rtol=1e-5)
