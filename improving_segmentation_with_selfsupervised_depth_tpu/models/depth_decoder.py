@@ -21,7 +21,7 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ASPP, Conv3x3, ConvBlock, ConvBNReLU
+from .layers import ASPP, Conv3x3, ConvBlock, ConvBNReLU, phase_unpack
 
 
 class DepthDecoder(nn.Module):
@@ -38,6 +38,15 @@ class DepthDecoder(nn.Module):
     n_project_skip_ch: int = -1
     aspp_pooling: bool = True
     enable_disparity: bool = True
+    # Run stage 0 (the full-resolution stage) in the phase-packed
+    # (space-to-depth) domain: the 4 phase outputs of the fused up2-conv stay
+    # channel-packed at half resolution, ELU/dropout/dispconv consume them
+    # there, and the full-res `upconv_0` is only interleaved on demand (XLA
+    # DCEs it when no consumer reads it). Full-res C=64 tensors are the
+    # slowest thing XLA lowers in this model (12%-MXU convs + layout flips,
+    # docs/profile_r03.md); the packed form is mathematically identical
+    # (tests pin it) and keeps every stage-0 op at C=256 quarter-area.
+    packed_stage0: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -72,13 +81,17 @@ class DepthDecoder(nn.Module):
                 if self.n_project_skip_ch != -1:
                     skip = ConvBNReLU(self.n_project_skip_ch, 1, dtype=self.dtype,
                                       name=f"skip_proj_{i}")(skip, train=train)
+            packed = (i == 0 and self.packed_stage0 and not self.batch_norm
+                      and skip is None and needs_up)
             if needs_up:
                 # fused nearest-x2 + concat + conv3x3: same math, the
                 # upsampled full-res tensor is never materialized
-                # (models/layers.py _up2_phase_conv)
+                # (models/layers.py _up2_phase_conv); at stage 0 the output
+                # additionally STAYS phase-packed (packed_stage0 above)
                 x = ConvBlock(self.num_ch_dec[i], bn=self.batch_norm,
                               dropout=self.dropout, dtype=self.dtype,
                               name=f"upconv_{i}_1")(x, skip=skip, up2_cat=True,
+                                                    packed_out=packed,
                                                     train=train)
             else:
                 if skip is not None:
@@ -86,12 +99,18 @@ class DepthDecoder(nn.Module):
                 x = ConvBlock(self.num_ch_dec[i], bn=self.batch_norm,
                               dropout=self.dropout, dtype=self.dtype,
                               name=f"upconv_{i}_1")(x, train=train)
-            outputs[f"upconv_{i}"] = x
+            if packed:
+                # interleaved view for consumers (seg head, PAD final head);
+                # dead-code-eliminated when only disp heads read stage 0
+                outputs[f"upconv_{i}"] = phase_unpack(x, self.num_ch_dec[i])
+            else:
+                outputs[f"upconv_{i}"] = x
             if i in self.scales and self.enable_disparity:
                 # pad_out_to=8: XLA's C_out=1 conv lowering runs ~50x below
                 # MXU rate; zero-padded output channels (sliced away) are
                 # mathematically identical and lower well (see layers.py)
                 disp = Conv3x3(self.num_output_channels, dtype=self.dtype,
-                               pad_out_to=8, name=f"dispconv_{i}")(x)
+                               pad_out_to=8, name=f"dispconv_{i}")(
+                    x, packed_in=packed)
                 outputs[f"disp_{i}"] = nn.sigmoid(disp.astype(jnp.float32))
         return outputs

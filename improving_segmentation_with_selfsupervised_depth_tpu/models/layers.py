@@ -41,7 +41,7 @@ def _conv_nhwc(x, kernel, dtype):
         padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def _up2_phase_conv(x, kernel, dtype):
+def _up2_phase_conv(x, kernel, dtype, packed_out: bool = False):
     """conv3x3(nearest_x2(x)) without materializing the upsampled tensor.
 
     Nearest x2 makes adjacent 3x3 taps hit the SAME source pixel, so each of
@@ -53,6 +53,13 @@ def _up2_phase_conv(x, kernel, dtype):
     lands on x[0]) — exact, not an approximation. 2.25x fewer MACs than the
     materialized form and one full-res tensor less traffic.
     Tap sums run in f32 (param precision) before the cast to `dtype`.
+
+    `packed_out=True` returns the PHASE-PACKED form (n, h, w, 4*cout) —
+    channel block k = 2a+b holds output phase (row parity a, col parity b) —
+    skipping the full-res interleave entirely (the stack+reshape and its
+    backward measured ~9 ms/step on the flagship geometry; see
+    docs/profile_r03.md). Downstream stage-0 ops consume this space-to-depth
+    layout directly (`phase_unpack` recovers the full-res tensor exactly).
     """
     n, h, w, c = x.shape
     # row-pair weights (2, 3, cin, cout) per row phase
@@ -71,10 +78,76 @@ def _up2_phase_conv(x, kernel, dtype):
     for (a, b), k_ab in phases.items():
         full = _conv_nhwc(xp, k_ab, dtype)          # (n, h+1, w+1, cout)
         outs[(a, b)] = full[:, a:h + a, b:w + b, :]
+    if packed_out:
+        return jnp.concatenate(
+            [outs[(0, 0)], outs[(0, 1)], outs[(1, 0)], outs[(1, 1)]], axis=-1)
     row0 = jnp.stack([outs[(0, 0)], outs[(0, 1)]], axis=3)  # (n, h, w, 2, co)
     row1 = jnp.stack([outs[(1, 0)], outs[(1, 1)]], axis=3)
     out = jnp.stack([row0, row1], axis=2)           # (n, h, 2, w, 2, co)
     return out.reshape(n, 2 * h, 2 * w, -1)
+
+
+def phase_unpack(x: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Phase-packed (n, h, w, 4c) [block k=2a+b] -> full-res (n, 2h, 2w, c)."""
+    n, h, w, _ = x.shape
+    blocks = [x[..., k * c:(k + 1) * c] for k in range(4)]
+    row0 = jnp.stack([blocks[0], blocks[1]], axis=3)   # (n, h, w, 2, c), dim3=b
+    row1 = jnp.stack([blocks[2], blocks[3]], axis=3)
+    out = jnp.stack([row0, row1], axis=2)              # (n, h, 2, w, 2, c)
+    return out.reshape(n, 2 * h, 2 * w, c)
+
+
+def _phase_pack_kernel_3x3(kernel: jnp.ndarray, bias: jnp.ndarray, out_pad: int):
+    """(3,3,C,O) conv params -> the equivalent packed-domain 3x3 conv.
+
+    A stride-1 3x3 conv on the full-res interleaved tensor is exactly a 3x3
+    conv on the phase-packed tensor with a structured kernel: output phase
+    (a, b), tap (di, dj) reads full-res row r = 2p + a + di - 1 = packed row
+    p + U - 1 of input phase alpha, with alpha = r mod 2 and U the packed row
+    offset (likewise beta/V for columns). Each per-phase output block is
+    zero-padded to `out_pad` channels (XLA's tiny-C_out conv lowering is the
+    reason the disp heads pad at all; 4*out_pad packed output channels fill
+    the lanes). Returns (packed_kernel (3,3,4C,4*out_pad), packed_bias).
+    """
+    c, o = kernel.shape[2], kernel.shape[3]
+    op = max(out_pad, o)
+    pk = jnp.zeros((3, 3, 4 * c, 4 * op), kernel.dtype)
+    pb = jnp.zeros((4 * op,), bias.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            kout = 2 * a + b
+            pb = pb.at[kout * op:kout * op + o].set(bias)
+            for di in range(3):
+                r = a + di - 1
+                alpha, u = r & 1, (r - (r & 1)) // 2 + 1
+                for dj in range(3):
+                    s = b + dj - 1
+                    beta, v = s & 1, (s - (s & 1)) // 2 + 1
+                    kin = 2 * alpha + beta
+                    pk = pk.at[u, v, kin * c:(kin + 1) * c,
+                               kout * op:kout * op + o].set(kernel[di, dj])
+    return pk, pb
+
+
+def _phase_reflect_pad1(x: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Packed-domain equivalent of full-res reflect-pad-by-1.
+
+    Full-res row -1 reflects to row 1 = packed row 0, phase alpha=1; row 2H
+    reflects to 2H-2 = packed row H-1, phase alpha=0. The opposite-parity
+    blocks of each pad row/col are only ever multiplied by structural zeros
+    of the packed kernel, so they are zero-filled. Pads 1 in the packed
+    (quarter-area) space instead of materializing a (2H+2, 2W+2) copy.
+    """
+    z2 = jnp.zeros_like(x[:, :1, :, :2 * c])
+    top = jnp.concatenate([z2, x[:, :1, :, 2 * c:]], axis=-1)
+    bot = jnp.concatenate([x[:, -1:, :, :2 * c], z2], axis=-1)
+    xp = jnp.concatenate([top, x, bot], axis=1)
+    zc = jnp.zeros_like(xp[:, :, :1, :c])
+    left = jnp.concatenate(
+        [zc, xp[:, :, :1, c:2 * c], zc, xp[:, :, :1, 3 * c:4 * c]], axis=-1)
+    right = jnp.concatenate(
+        [xp[:, :, -1:, :c], zc, xp[:, :, -1:, 2 * c:3 * c], zc], axis=-1)
+    return jnp.concatenate([left, xp, right], axis=2)
 
 
 class Conv3x3(nn.Module):
@@ -98,7 +171,25 @@ class Conv3x3(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skip=None, up2_cat: bool = False):
+    def __call__(self, x, skip=None, up2_cat: bool = False,
+                 packed_out: bool = False, packed_in: bool = False):
+        if packed_in:
+            # `x` is phase-packed (n, h, w, 4*cin): run the EXACT full-res
+            # reflect-pad + 3x3 conv in the packed domain (structured packed
+            # kernel + quarter-area pad). Returns the full-res (2h, 2w,
+            # out_ch) result — same contract as the plain path.
+            assert self.use_refl and skip is None and not up2_cat
+            cin = x.shape[-1] // 4
+            kernel, bias = _Conv3x3Params(self.out_ch, cin, name="Conv_0")()
+            op = max(self.pad_out_to, self.out_ch)
+            pk, pb = _phase_pack_kernel_3x3(kernel, bias, op)
+            xp = _phase_reflect_pad1(x, cin)
+            out = _conv_nhwc(xp, pk, self.dtype) + pb.astype(self.dtype)
+            if op > self.out_ch:
+                out = jnp.concatenate(
+                    [out[..., k * op:k * op + self.out_ch] for k in range(4)],
+                    axis=-1)
+            return phase_unpack(out, self.out_ch)
         if not up2_cat:
             assert skip is None
             mode = "reflect" if self.use_refl else "constant"
@@ -118,6 +209,10 @@ class Conv3x3(nn.Module):
         c_up = x.shape[-1]
         c_skip = 0 if skip is None else skip.shape[-1]
         kernel, bias = _Conv3x3Params(self.out_ch, c_up + c_skip, name="Conv_0")()
+        if packed_out:
+            assert skip is None  # stage 0 (the packed stage) has no skip
+            out = _up2_phase_conv(x, kernel, self.dtype, packed_out=True)
+            return out + jnp.tile(bias, 4).astype(self.dtype)
         out = _up2_phase_conv(x, kernel[:, :, :c_up], self.dtype)
         if skip is not None:
             spad = jnp.pad(skip, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
@@ -135,16 +230,29 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skip=None, up2_cat: bool = False, *, train: bool = False):
-        x = Conv3x3(self.out_ch, dtype=self.dtype)(x, skip=skip, up2_cat=up2_cat)
+    def __call__(self, x, skip=None, up2_cat: bool = False,
+                 packed_out: bool = False, *, train: bool = False):
+        assert not (packed_out and self.bn)  # packed stage implies bn-free
+        x = Conv3x3(self.out_ch, dtype=self.dtype)(x, skip=skip, up2_cat=up2_cat,
+                                                   packed_out=packed_out)
         if self.bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.elu(x)
         if self.dropout > 0:
-            # 2D (channel-wise) dropout, like torch nn.Dropout2d
-            x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
-                           deterministic=not train)(x)
+            # 2D (channel-wise) dropout, like torch nn.Dropout2d. In packed
+            # form the same channel of all 4 phase blocks shares one draw
+            # (full-res channel-wise semantics), via a reshape that exposes
+            # the phase axis to the broadcast dims.
+            if packed_out:
+                n, h, w, c4 = x.shape
+                x = x.reshape(n, h, w, 4, c4 // 4)
+                x = nn.Dropout(self.dropout, broadcast_dims=(1, 2, 3),
+                               deterministic=not train)(x)
+                x = x.reshape(n, h, w, c4)
+            else:
+                x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                               deterministic=not train)(x)
         return x
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Sequence
 
+import jax.lax as lax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -32,6 +33,30 @@ def _get_layer(encoder_features, decoder_outputs, layer: int):
     if layer <= 4:
         return encoder_features[layer]
     return decoder_outputs[f"upconv_{9 - layer}"]
+
+
+class _Conv1x1Params(nn.Module):
+    """Bias-free 1x1-conv parameter container with nn.Conv's param layout
+    ("<name>/kernel", (1, 1, cin, cout), kaiming_out) so the fused seg-head
+    path below leaves the checkpoint tree identical to the nn.Conv path."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_out, (1, 1, self.in_ch, self.out_ch))
+
+
+class _Conv3x3NoBiasParams(nn.Module):
+    """Bias-free 3x3-conv parameter container (nn.Conv layout, see above)."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_out, (3, 3, self.in_ch, self.out_ch))
 
 
 class JointSegDepthDecoder(nn.Module):
@@ -57,24 +82,52 @@ class JointSegDepthDecoder(nn.Module):
         seg_size = _get_layer(encoder_features, seg_features, 9).shape[1:3]
         last_size = (seg_size[0] // self.output_stride, seg_size[1] // self.output_stride)
 
-        stacked = []
-        for layer in self.layers:
-            proj = nn.Conv(self.layer_out_channels, (1, 1), use_bias=False, dtype=self.dtype,
-                           kernel_init=kaiming_out, name=f"project_seg{layer}")(
-                _get_layer(encoder_features, seg_features, layer)
-            )
-            stacked.append(resize_bilinear(proj, last_size, align_corners=False))
-        x = jnp.concatenate(stacked, axis=-1)
-
-        if self.layer_dropout > 0:
-            x = nn.Dropout(self.layer_dropout, deterministic=not train)(x)
-        if self.head_inter:
-            x = nn.Conv(self.head_inter_channels, (3, 3), padding=1, use_bias=False,
-                        dtype=self.dtype, kernel_init=kaiming_out, name="head_conv")(x)
+        # Single-full-res-layer fast path: with one projected layer, no
+        # resize and no dropout between, project_seg (1x1, no bias) followed
+        # by head_conv (zero-pad 3x3, no bias) is one 3x3 conv with the
+        # composed kernel W3[d, c, o] = sum_m P[c, m] W3[d, m, o] — same
+        # math (linear maps compose; zero-padding commutes since P(0)=0),
+        # one less full-res C=64 conv + round-trip. Params are unchanged
+        # (both kernels still exist under their own names).
+        fold = (self.head_inter and len(self.layers) == 1
+                and self.layer_dropout == 0
+                and _get_layer(encoder_features, seg_features,
+                               self.layers[0]).shape[1:3] == tuple(last_size))
+        if fold:
+            layer = self.layers[0]
+            feat = _get_layer(encoder_features, seg_features, layer)
+            pk = _Conv1x1Params(feat.shape[-1], self.layer_out_channels,
+                                name=f"project_seg{layer}")()
+            hk = _Conv3x3NoBiasParams(self.layer_out_channels,
+                                      self.head_inter_channels,
+                                      name="head_conv")()
+            composed = jnp.einsum("cm,ijmo->ijco", pk[0, 0], hk)
+            x = lax.conv_general_dilated(
+                feat.astype(self.dtype), composed.astype(self.dtype), (1, 1),
+                [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                              dtype=self.dtype, name="head_bn")(x)
             x = nn.relu(x)
             x = nn.Dropout(self.head_dropout, deterministic=not train)(x)
+        else:
+            stacked = []
+            for layer in self.layers:
+                proj = nn.Conv(self.layer_out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                               kernel_init=kaiming_out, name=f"project_seg{layer}")(
+                    _get_layer(encoder_features, seg_features, layer)
+                )
+                stacked.append(resize_bilinear(proj, last_size, align_corners=False))
+            x = jnp.concatenate(stacked, axis=-1)
+
+            if self.layer_dropout > 0:
+                x = nn.Dropout(self.layer_dropout, deterministic=not train)(x)
+            if self.head_inter:
+                x = nn.Conv(self.head_inter_channels, (3, 3), padding=1, use_bias=False,
+                            dtype=self.dtype, kernel_init=kaiming_out, name="head_conv")(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype, name="head_bn")(x)
+                x = nn.relu(x)
+                x = nn.Dropout(self.head_dropout, deterministic=not train)(x)
         score = PaddedConv1x1(self.num_classes, dtype=self.dtype,
                               name="classifier")(x)
         if last_size != tuple(seg_size):

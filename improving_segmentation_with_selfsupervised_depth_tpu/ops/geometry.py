@@ -99,7 +99,13 @@ def backproject_depth(depth: jnp.ndarray, inv_K: jnp.ndarray) -> jnp.ndarray:
     """
     n, h, w, _ = depth.shape
     pix = jnp.asarray(_pix_coords(h, w))  # (3, HW)
-    cam = jnp.einsum("nij,jp->nip", inv_K[:, :3, :3], pix, precision=jax.lax.Precision.HIGHEST)  # (N,3,HW)
+    # Unrolled (N,3,3)x(3,HW) contraction: a K=3 dot_general lowers to a
+    # ~0.3 TF/s tiny-matmul custom call on TPU (measured ~1 ms per call in
+    # the train step, 8 calls/step with an equally slow transpose); three
+    # broadcast FMAs fuse into the surrounding elementwise graph instead.
+    ik = inv_K[:, :3, :3]
+    cam = (ik[:, :, 0:1] * pix[0] + ik[:, :, 1:2] * pix[1]
+           + ik[:, :, 2:3] * pix[2])                       # (N,3,HW)
     cam = depth.reshape(n, 1, h * w) * cam
     ones = jnp.ones((n, 1, h * w), dtype=cam.dtype)
     return jnp.concatenate([cam, ones], axis=1)
@@ -115,7 +121,11 @@ def project_3d(
     """
     n = points.shape[0]
     P = jnp.einsum("nij,njk->nik", K, T, precision=jax.lax.Precision.HIGHEST)[:, :3, :]  # (N,3,4)
-    cam = jnp.einsum("nij,njp->nip", P, points, precision=jax.lax.Precision.HIGHEST)  # (N,3,HW)
+    # Unrolled K=4 contraction over the point cloud — see backproject_depth
+    # (dot_general at this shape is a tiny-matmul custom call, ~0.3 TF/s;
+    # four broadcast FMAs fuse for free and the VJP is elementwise too).
+    cam = (P[:, :, 0:1] * points[:, 0:1] + P[:, :, 1:2] * points[:, 1:2]
+           + P[:, :, 2:3] * points[:, 2:3] + P[:, :, 3:4] * points[:, 3:4])  # (N,3,HW)
     pix = cam[:, :2, :] / (cam[:, 2:3, :] + eps)  # (N,2,HW)
     pix = pix.reshape(n, 2, h, w)
     px = pix[:, 0] / (w - 1)

@@ -228,3 +228,55 @@ def test_fused_up2_conv_matches_materialized():
     np.testing.assert_allclose(np.asarray(fused1), np.asarray(ref1),
                                atol=1e-5, rtol=1e-5)
 
+
+
+def test_packed_stage0_matches_unpacked(enc18_feats):
+    """DepthDecoder(packed_stage0=True) == the plain full-res stage-0 path:
+    identical params, every output key (incl. the packed dispconv_0 and the
+    lazily-unpacked upconv_0) bitwise-close. Covers layers.py
+    _phase_pack_kernel_3x3 / _phase_reflect_pad1 / phase_unpack."""
+    dd_u = DepthDecoder(num_ch_enc=num_ch_enc(18), packed_stage0=False)
+    dd_p = DepthDecoder(num_ch_enc=num_ch_enc(18), packed_stage0=True)
+    params = dd_u.init(jax.random.PRNGKey(0), enc18_feats)
+    out_u = dd_u.apply(params, enc18_feats)
+    out_p = dd_p.apply(params, enc18_feats)
+    assert set(out_u) == set(out_p)
+    for k in out_u:
+        np.testing.assert_allclose(np.asarray(out_p[k]), np.asarray(out_u[k]),
+                                   atol=2e-5, rtol=1e-5, err_msg=k)
+
+
+def test_packed_stage0_grad_matches_unpacked(enc18_feats):
+    """Gradients through the packed stage-0 path match the plain path
+    (same params, scalar loss over disp_0 + upconv_0)."""
+    dd_u = DepthDecoder(num_ch_enc=num_ch_enc(18), packed_stage0=False)
+    dd_p = DepthDecoder(num_ch_enc=num_ch_enc(18), packed_stage0=True)
+    params = dd_u.init(jax.random.PRNGKey(0), enc18_feats)
+
+    def loss(p, mod):
+        out = mod.apply(p, enc18_feats)
+        return jnp.sum(out["disp_0"] ** 2) + jnp.sum(out["upconv_0"] ** 2)
+
+    gu = jax.grad(lambda p: loss(p, dd_u))(params)
+    gp = jax.grad(lambda p: loss(p, dd_p))(params)
+    flat_u = jax.tree_util.tree_leaves_with_path(gu)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(gp))
+    for path, g in flat_u:
+        np.testing.assert_allclose(np.asarray(flat_p[path]), np.asarray(g),
+                                   atol=5e-4, rtol=1e-3, err_msg=str(path))
+
+
+def test_seg_decoder_fold_matches_unfused(enc18_feats):
+    """JointSegDepthDecoder single-layer fold (project_seg + head_conv
+    composed into one 3x3 conv) == the unfused two-conv path with the same
+    params. The unfused branch is forced via an epsilon layer_dropout (inert
+    in eval mode but disables the fold condition)."""
+    seg_f = JointSegDepthDecoder(num_ch_enc=num_ch_enc(18), num_classes=19)
+    seg_u = JointSegDepthDecoder(num_ch_enc=num_ch_enc(18), num_classes=19,
+                                 layer_dropout=1e-12)
+    params = seg_f.init({"params": jax.random.PRNGKey(2)}, enc18_feats, train=False)
+    out_f = seg_f.apply(params, enc18_feats, train=False)
+    out_u = seg_u.apply(params, enc18_feats, train=False)
+    scale = float(np.abs(np.asarray(out_u)).max())
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               atol=2e-4 * max(scale, 1.0), rtol=1e-4)
