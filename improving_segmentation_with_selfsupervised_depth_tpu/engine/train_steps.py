@@ -67,6 +67,12 @@ class StepConfig:
     # fused Pallas SSIM+L1 kernel instead of the XLA chain (A/B knob;
     # training.fused_reprojection in configs)
     fused_pred_loss: bool = False
+    # rematerialize the photometric SSIM/L1/automask chain on the backward
+    # pass instead of storing its fusion residuals: trades VPU recompute for
+    # HBM traffic on a BW-bound chain. The warp itself stays OUTSIDE the
+    # remat boundary (its outputs are the saved residuals), so the Pallas
+    # kernel never re-runs. (A/B knob; training.remat_photometric in configs)
+    remat_photometric: bool = False
     # "pack": one multi-grid warp call per source frame, NCHW color_pred and
     # an NCHW SSIM/L1 chain (no full-res layout copies); "nhwc": one warp
     # call per (frame, scale) with NHWC outputs (A/B + debugging knob;
@@ -122,14 +128,22 @@ def _monodepth_loss(cfg: StepConfig, rng, batch, outputs):
         min_depth=cfg.min_depth, max_depth=cfg.max_depth,
         pred_layout=cfg.pred_layout,
     )
-    losses = photometric.compute_losses(
-        rng, batch, outputs,
-        scales=cfg.scales, frame_ids=cfg.frame_ids,
-        disparity_smoothness=cfg.disparity_smoothness, no_ssim=cfg.no_ssim,
-        avg_reprojection=cfg.avg_reprojection, disable_automasking=cfg.disable_automasking,
-        pred_dtype=cfg.photometric_dtype, fused_pred=cfg.fused_pred_loss,
-        pred_layout=cfg.pred_layout,
-    )
+    def _losses(rng, batch, outputs):
+        return photometric.compute_losses(
+            rng, batch, outputs,
+            scales=cfg.scales, frame_ids=cfg.frame_ids,
+            disparity_smoothness=cfg.disparity_smoothness, no_ssim=cfg.no_ssim,
+            avg_reprojection=cfg.avg_reprojection,
+            disable_automasking=cfg.disable_automasking,
+            pred_dtype=cfg.photometric_dtype, fused_pred=cfg.fused_pred_loss,
+            pred_layout=cfg.pred_layout,
+        )
+
+    if cfg.remat_photometric:
+        # recompute the loss chain in bwd from the warped preds (which stay
+        # residuals — the warp is outside this boundary and never re-runs)
+        _losses = jax.checkpoint(_losses)
+    losses = _losses(rng, batch, outputs)
     return losses["loss"], outputs
 
 
@@ -438,6 +452,7 @@ def step_config_from_cfg(cfg: Dict[str, Any]) -> StepConfig:
         no_ssim=mono.get("no_ssim", False),
         photometric_dtype=jnp.bfloat16 if t.get("amp", False) else None,
         fused_pred_loss=t.get("fused_reprojection", False),
+        remat_photometric=t.get("remat_photometric", False),
         pred_layout=t.get("pred_layout", "pack"),
         avg_reprojection=mono.get("avg_reprojection", False),
         disable_automasking=mono.get("disable_automasking", False),

@@ -101,8 +101,12 @@ class DepthDecoder(nn.Module):
                               name=f"upconv_{i}_1")(x, train=train)
             if packed:
                 # interleaved view for consumers (seg head, PAD final head);
-                # dead-code-eliminated when only disp heads read stage 0
+                # dead-code-eliminated when only disp heads read stage 0.
+                # Packed-aware consumers read `upconv_0_packed` instead and
+                # the interleave never materializes (joint.py / seg_decoder.py
+                # pop the extra key before returning their output dicts).
                 outputs[f"upconv_{i}"] = phase_unpack(x, self.num_ch_dec[i])
+                outputs["upconv_0_packed"] = x
             else:
                 outputs[f"upconv_{i}"] = x
             if i in self.scales and self.enable_disparity:

@@ -193,6 +193,10 @@ class JointSegmentationDepth(nn.Module):
         else:
             if not self.disable_monodepth:
                 outputs.update(self.depth(features, train=train))
+                # internal phase-packed stage-0 view (models/depth_decoder.py)
+                # — not part of the output contract; XLA DCEs the interleaved
+                # upconv_0 when nothing downstream reads it
+                outputs.pop("upconv_0_packed", None)
             if self.segmentation_name is not None:
                 outputs["semantics"] = self.segmentation(features, train=train)
 

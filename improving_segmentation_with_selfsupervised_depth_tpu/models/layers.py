@@ -150,6 +150,33 @@ def _phase_reflect_pad1(x: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.concatenate([left, xp, right], axis=2)
 
 
+def packed_conv3x3(x, kernel, bias, dtype, pad_mode="reflect",
+                   keep_packed=False, out_pad=0):
+    """Full-res 3x3 conv executed in the phase-packed domain.
+
+    `x` is (n, h, w, 4*cin) phase-packed; `kernel` the FULL-RES (3, 3, cin,
+    cout) weights. Runs the exact full-res stride-1 conv with 1-pixel
+    `pad_mode` padding ("reflect" or "zero") as a quarter-area conv with the
+    structured packed kernel (`_phase_pack_kernel_3x3`). Returns the packed
+    (n, h, w, 4*cout) result when `keep_packed`, else the interleaved
+    full-res (n, 2h, 2w, cout) tensor. `out_pad` zero-pads each phase
+    block's output channels for XLA's conv lowering (sliced back)."""
+    c = x.shape[-1] // 4
+    o = kernel.shape[3]
+    op = max(out_pad, o)
+    pk, pb = _phase_pack_kernel_3x3(kernel, bias, op)
+    if pad_mode == "reflect":
+        xp = _phase_reflect_pad1(x, c)
+    else:
+        # full-res zero-pad: every pad element is zero in every phase block
+        xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    out = _conv_nhwc(xp, pk, dtype) + pb.astype(dtype)
+    if op > o:
+        out = jnp.concatenate(
+            [out[..., k * op:k * op + o] for k in range(4)], axis=-1)
+    return out if keep_packed else phase_unpack(out, o)
+
+
 class Conv3x3(nn.Module):
     """Reflection-pad + 3x3 conv (reference monodepth_layers.py:127-142).
 
@@ -181,15 +208,8 @@ class Conv3x3(nn.Module):
             assert self.use_refl and skip is None and not up2_cat
             cin = x.shape[-1] // 4
             kernel, bias = _Conv3x3Params(self.out_ch, cin, name="Conv_0")()
-            op = max(self.pad_out_to, self.out_ch)
-            pk, pb = _phase_pack_kernel_3x3(kernel, bias, op)
-            xp = _phase_reflect_pad1(x, cin)
-            out = _conv_nhwc(xp, pk, self.dtype) + pb.astype(self.dtype)
-            if op > self.out_ch:
-                out = jnp.concatenate(
-                    [out[..., k * op:k * op + self.out_ch] for k in range(4)],
-                    axis=-1)
-            return phase_unpack(out, self.out_ch)
+            return packed_conv3x3(x, kernel, bias, self.dtype,
+                                  pad_mode="reflect", out_pad=self.pad_out_to)
         if not up2_cat:
             assert skip is None
             mode = "reflect" if self.use_refl else "constant"
@@ -268,10 +288,22 @@ class PaddedConv1x1(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        cin = x.shape[-1]
+    def __call__(self, x, packed_in: bool = False):
+        cin = x.shape[-1] // 4 if packed_in else x.shape[-1]
         kernel = self.param("kernel", kaiming_out, (1, 1, cin, self.out_ch))
         bias = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        if packed_in:
+            # phase-packed input (n, h, w, 4*cin): a 1x1 conv acts on each
+            # phase block independently with the SAME kernel, so run it as a
+            # quarter-area matmul over an exposed phase axis and interleave
+            # only the (cheap, out_ch-wide) result to full res.
+            n, h, w, _ = x.shape
+            xr = x.reshape(n, h, w, 4, cin).astype(self.dtype)
+            out = jnp.einsum("nhwpc,co->nhwpo", xr,
+                             kernel[0, 0].astype(self.dtype))
+            out = out + bias.astype(self.dtype)
+            return phase_unpack(out.reshape(n, h, w, 4 * self.out_ch),
+                                self.out_ch)
         pad = max(self.pad_to - self.out_ch, 0)
         kernel = jnp.pad(kernel, [(0, 0)] * 3 + [(0, pad)])
         bias = jnp.pad(bias, [(0, pad)])

@@ -26,7 +26,7 @@ from flax import linen as nn
 
 from ..ops.resize import resize_bilinear
 from .depth_decoder import DepthDecoder
-from .layers import PaddedConv1x1, SelfAttention, kaiming_out
+from .layers import PaddedConv1x1, SelfAttention, kaiming_out, packed_conv3x3
 
 
 def _get_layer(encoder_features, decoder_outputs, layer: int):
@@ -93,6 +93,7 @@ class JointSegDepthDecoder(nn.Module):
                 and self.layer_dropout == 0
                 and _get_layer(encoder_features, seg_features,
                                self.layers[0]).shape[1:3] == tuple(last_size))
+        x_packed = False
         if fold:
             layer = self.layers[0]
             feat = _get_layer(encoder_features, seg_features, layer)
@@ -102,12 +103,31 @@ class JointSegDepthDecoder(nn.Module):
                                       self.head_inter_channels,
                                       name="head_conv")()
             composed = jnp.einsum("cm,ijmo->ijco", pk[0, 0], hk)
-            x = lax.conv_general_dilated(
-                feat.astype(self.dtype), composed.astype(self.dtype), (1, 1),
-                [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                             dtype=self.dtype, name="head_bn")(x)
-            x = nn.relu(x)
+            if layer == 9 and "upconv_0_packed" in seg_features:
+                # stage 0 never leaves the phase-packed domain: the composed
+                # 3x3 conv, BN, relu and classifier all run at quarter area,
+                # and only the num_classes-wide logits interleave to full res
+                # (layers.py packed_conv3x3 / PaddedConv1x1(packed_in)). BN
+                # sees the same value multiset via the exposed phase axis, so
+                # stats/params are identical to the full-res path.
+                xp = packed_conv3x3(
+                    seg_features["upconv_0_packed"], composed,
+                    jnp.zeros((self.head_inter_channels,), composed.dtype),
+                    self.dtype, pad_mode="zero", keep_packed=True)
+                n, h, w, c4 = xp.shape
+                xr = xp.reshape(n, h, w, 4, c4 // 4)
+                xr = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                  epsilon=1e-5, dtype=self.dtype,
+                                  name="head_bn")(xr)
+                x = nn.relu(xr).reshape(n, h, w, c4)
+                x_packed = True
+            else:
+                x = lax.conv_general_dilated(
+                    feat.astype(self.dtype), composed.astype(self.dtype), (1, 1),
+                    [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype, name="head_bn")(x)
+                x = nn.relu(x)
             x = nn.Dropout(self.head_dropout, deterministic=not train)(x)
         else:
             stacked = []
@@ -129,7 +149,7 @@ class JointSegDepthDecoder(nn.Module):
                 x = nn.relu(x)
                 x = nn.Dropout(self.head_dropout, deterministic=not train)(x)
         score = PaddedConv1x1(self.num_classes, dtype=self.dtype,
-                              name="classifier")(x)
+                              name="classifier")(x, packed_in=x_packed)
         if last_size != tuple(seg_size):
             score = resize_bilinear(score, seg_size, align_corners=False)
         return score.astype(jnp.float32)
@@ -189,10 +209,18 @@ class PAD(nn.Module):
             depth_dec(encoder_features, x=merged_for_depth, exec_layer=second_half, train=train))
         seg_features = seg_dec(encoder_features, x=merged_for_seg, exec_layer=second_half,
                                train=train)
-        final_seg = PaddedConv1x1(self.num_classes, dtype=self.dtype,
-                                  name="seg_final_head")(
-            _get_layer(None, seg_features, self.final_layer)
-        ).astype(jnp.float32)
+        if self.final_layer == 9 and "upconv_0_packed" in seg_features:
+            # consume the packed stage 0 directly: quarter-area 1x1 head,
+            # only the logits interleave to full res (see layers.py)
+            final_seg = PaddedConv1x1(self.num_classes, dtype=self.dtype,
+                                      name="seg_final_head")(
+                seg_features["upconv_0_packed"], packed_in=True
+            ).astype(jnp.float32)
+        else:
+            final_seg = PaddedConv1x1(self.num_classes, dtype=self.dtype,
+                                      name="seg_final_head")(
+                _get_layer(None, seg_features, self.final_layer)
+            ).astype(jnp.float32)
 
         seg_size = encoder_features[0].shape[1:3]
         last_size = (seg_size[0] // self.output_stride, seg_size[1] // self.output_stride)
@@ -202,6 +230,7 @@ class PAD(nn.Module):
             final_seg = resize_bilinear(final_seg, seg_size, align_corners=False)
 
         out = dict(depth_features)
+        out.pop("upconv_0_packed", None)  # internal packed view, not API
         out["semantics"] = final_seg
         if self.side_output:
             out["intermediate_semantics"] = intermediate_seg

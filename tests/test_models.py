@@ -240,6 +240,7 @@ def test_packed_stage0_matches_unpacked(enc18_feats):
     params = dd_u.init(jax.random.PRNGKey(0), enc18_feats)
     out_u = dd_u.apply(params, enc18_feats)
     out_p = dd_p.apply(params, enc18_feats)
+    out_p.pop("upconv_0_packed")  # internal packed view, extra by design
     assert set(out_u) == set(out_p)
     for k in out_u:
         np.testing.assert_allclose(np.asarray(out_p[k]), np.asarray(out_u[k]),
@@ -280,3 +281,28 @@ def test_seg_decoder_fold_matches_unfused(enc18_feats):
     scale = float(np.abs(np.asarray(out_u)).max())
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
                                atol=2e-4 * max(scale, 1.0), rtol=1e-4)
+
+    # the packed fold path (stage 0 never interleaved, packed BN/classifier)
+    # == the same fold on the unpacked stage 0
+    seg_fp = JointSegDepthDecoder(num_ch_enc=num_ch_enc(18), num_classes=19,
+                                  depth_args={"packed_stage0": False})
+    out_fp = seg_fp.apply(params, enc18_feats, train=False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_fp),
+                               atol=2e-4 * max(scale, 1.0), rtol=1e-4)
+
+
+def test_pad_packed_stage0_matches_unpacked(enc18_feats):
+    """PAD with phase-packed stage 0 (packed final 1x1 head) == PAD on the
+    plain full-res stage 0, same params, train-mode batch stats included."""
+    pad_p = PAD(num_ch_enc=num_ch_enc(18), num_classes=19)
+    pad_u = PAD(num_ch_enc=num_ch_enc(18), num_classes=19,
+                depth_args={"packed_stage0": False})
+    params = pad_u.init({"params": jax.random.PRNGKey(0)}, enc18_feats, train=False)
+    out_u = pad_u.apply(params, enc18_feats, train=False)
+    out_p = pad_p.apply(params, enc18_feats, train=False)
+    assert set(out_u) == set(out_p)
+    for k in out_u:
+        a, b = np.asarray(out_u[k]), np.asarray(out_p[k])
+        scale = max(float(np.abs(a).max()), 1.0)
+        np.testing.assert_allclose(b, a, atol=2e-4 * scale, rtol=1e-4,
+                                   err_msg=k)

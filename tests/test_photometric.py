@@ -167,3 +167,29 @@ def test_pack_layout_matches_nhwc():
     np.testing.assert_allclose(float(l_nhwc), float(l_pack), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_nhwc), np.asarray(g_pack),
                                atol=1e-6, rtol=1e-5)
+
+
+def test_remat_photometric_identical_loss_and_grads():
+    """jax.checkpoint'ed loss chain (engine.train_steps remat_photometric)
+    == the plain chain: same loss, same gradients w.r.t. the warped preds
+    and disparities (the remat boundary's residuals)."""
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(2, 32, 48, num_scales=2).items()}
+    outputs = _outputs_for(batch, scales=(0, 1))
+    outputs = photometric.generate_images_pred(
+        batch, outputs, scales=(0, 1), frame_ids=(0, -1, 1),
+        min_depth=0.1, max_depth=100.0)
+    rng = jax.random.PRNGKey(7)
+
+    def loss(outs):
+        return photometric.compute_losses(
+            rng, batch, outs, scales=(0, 1), frame_ids=(0, -1, 1),
+            disparity_smoothness=1e-3)["loss"]
+
+    plain_l, plain_g = jax.value_and_grad(loss)(outputs)
+    ck_l, ck_g = jax.value_and_grad(jax.checkpoint(loss))(outputs)
+    np.testing.assert_allclose(float(ck_l), float(plain_l), rtol=1e-6)
+    for path, g in jax.tree_util.tree_leaves_with_path(plain_g):
+        got = dict(jax.tree_util.tree_leaves_with_path(ck_g))[path]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(g),
+                                   atol=1e-6, rtol=1e-5, err_msg=str(path))

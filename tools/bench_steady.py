@@ -100,6 +100,9 @@ def main():
     ap.add_argument("--fused-pred", action="store_true",
                     help="route the per-scale reprojection through the fused "
                          "Pallas SSIM kernel")
+    ap.add_argument("--remat-photo", action="store_true",
+                    help="jax.checkpoint the photometric loss chain (warp "
+                         "outputs stay residuals)")
     args = ap.parse_args()
     BATCH = args.batch
 
@@ -112,7 +115,8 @@ def main():
     cfg = StepConfig(monodepth_lambda=1.0, segmentation_lambda=1.0,
                      frame_ids=(0, -1, 1), scales=(0, 1, 2, 3),
                      photometric_dtype=jnp.bfloat16 if args.bf16_photo else None,
-                     fused_pred_loss=args.fused_pred)
+                     fused_pred_loss=args.fused_pred,
+                     remat_photometric=args.remat_photo)
     step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
     rng = jax.random.PRNGKey(0)
     t_compile0 = time.time()

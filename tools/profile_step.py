@@ -38,7 +38,14 @@ model_cfg = {
 }
 training_cfg = {
     "optimizer": {"name": "sgd", "lr": 1e-2, "momentum": 0.9, "backbone_lr": 1e-3},
-    "lr_schedule": {"name": "multi_step", "milestones": [150, 250], "gamma": 0.1},  # settles the warmup like bench.py
+    # settle the warmup like bench.py: decay only once the scene is fit
+    # (~55% of warmup) — decaying earlier freezes residual grid roughness
+    # and the trace over-weights the warp kernels (see bench.py's note)
+    "lr_schedule": {"name": "multi_step",
+                    "milestones": [
+                        int(int(os.environ.get("PROFILE_WARMUP", "0") or 300) * 0.55),
+                        int(int(os.environ.get("PROFILE_WARMUP", "0") or 300) * 0.9)],
+                    "gamma": 0.1},
     "clip_grad_norm": 10.0,
 }
 
