@@ -60,6 +60,12 @@ cfg = StepConfig(monodepth_lambda=1.0, segmentation_lambda=1.0,
                  photometric_dtype=jnp.bfloat16)  # match bench.py (amp parity)
 step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
 rng = jax.random.PRNGKey(0)
+# dump the optimized HLO of the exact profiled program so trace fusion
+# names can be joined with module metadata (tools/trace_attrib.py)
+hlo_txt = step.lower(state, batch, None, rng).compile().as_text()
+with open("/tmp/jaxtrace_hlo.txt", "w") as f:
+    f.write(hlo_txt)
+print(f"optimized HLO -> /tmp/jaxtrace_hlo.txt ({len(hlo_txt)} bytes)")
 state, m = step(state, batch, None, rng)
 jax.block_until_ready(m["total_loss"])
 
