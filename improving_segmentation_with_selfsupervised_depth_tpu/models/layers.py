@@ -74,10 +74,17 @@ def _up2_phase_conv(x, kernel, dtype, packed_out: bool = False):
                 k_ab = jnp.stack([ra[:, 0] + ra[:, 1], ra[:, 2]], axis=1)
             phases[(a, b)] = k_ab  # (2, 2, cin, cout)
     xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
+    # ONE conv for all 4 phases (kernels concat on the out-channel axis):
+    # same MACs, 4x fewer conv dispatches and a 4x wider (lane-friendlier)
+    # C_out than per-phase convs
+    co = kernel.shape[3]
+    kcat = jnp.concatenate([phases[(0, 0)], phases[(0, 1)],
+                            phases[(1, 0)], phases[(1, 1)]], axis=3)
+    full = _conv_nhwc(xp, kcat, dtype)              # (n, h+1, w+1, 4*cout)
     outs = {}
-    for (a, b), k_ab in phases.items():
-        full = _conv_nhwc(xp, k_ab, dtype)          # (n, h+1, w+1, cout)
-        outs[(a, b)] = full[:, a:h + a, b:w + b, :]
+    for (a, b) in phases:
+        k = 2 * a + b
+        outs[(a, b)] = full[:, a:h + a, b:w + b, k * co:(k + 1) * co]
     if packed_out:
         return jnp.concatenate(
             [outs[(0, 0)], outs[(0, 1)], outs[(1, 0)], outs[(1, 1)]], axis=-1)
