@@ -306,3 +306,29 @@ def test_pad_packed_stage0_matches_unpacked(enc18_feats):
         scale = max(float(np.abs(a).max()), 1.0)
         np.testing.assert_allclose(b, a, atol=2e-4 * scale, rtol=1e-4,
                                    err_msg=k)
+
+
+def test_packed_stage0_train_mode_dropout_and_bn_fallback(enc18_feats):
+    """Train-mode behavior of the packed stage 0: (a) with dropout the packed
+    2D-dropout reshape preserves full-res channel-wise semantics (each
+    channel all-kept or all-dropped across every phase); (b) with batch_norm
+    the decoder falls back to the unpacked path (packed requires bn-free)
+    and still runs."""
+    dd = DepthDecoder(num_ch_enc=num_ch_enc(18), dropout=0.5)
+    params = dd.init({"params": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(1)}, enc18_feats, train=True)
+    out = dd.apply(params, enc18_feats, train=True,
+                   rngs={"dropout": jax.random.PRNGKey(2)})
+    up0 = np.asarray(out["upconv_0"])  # (n, 2h, 2w, c) after lazy unpack
+    # channel-wise dropout: each (sample, channel) plane is either all zero
+    # or nowhere zero (ELU outputs are nonzero a.s.)
+    zero_frac = (up0 == 0.0).mean(axis=(1, 2))
+    assert np.all((zero_frac > 0.999) | (zero_frac < 0.001))
+    assert 0.1 < (zero_frac > 0.5).mean() < 0.9  # some dropped, some kept
+
+    dd_bn = DepthDecoder(num_ch_enc=num_ch_enc(18), batch_norm=True)
+    pbn = dd_bn.init({"params": jax.random.PRNGKey(0)}, enc18_feats, train=False)
+    out_bn, _ = dd_bn.apply(pbn, enc18_feats, train=True,
+                            mutable=["batch_stats"])
+    assert "upconv_0_packed" not in out_bn
+    assert out_bn["upconv_0"].shape == out["upconv_0"].shape
