@@ -300,8 +300,11 @@ def generate_experiment_cfgs(base_cfg: Dict[str, Any], id: int) -> List[Dict[str
                     cfg["model"]["segmentation_name"] = "mtl_pad"
                     cfg["model"]["backbone_name"] = "resnet101"
                     # PAD + online DepthMix runs 3 student forwards; encoder
-                    # remat keeps the step inside 16G HBM (OOMs without)
-                    cfg["model"]["remat"] = True
+                    # encoder remat was needed to stay inside 16G HBM
+                    # before the phase-packed stage 0 (models/layers.py)
+                    # removed the full-res C=64 residuals; measured ~3%
+                    # faster without it at the bench geometry (bs4 512^2)
+                    cfg["model"]["remat"] = False
                     cfg, _ = decoder_variant(cfg, dec, crop)
                     cfg["model"]["backbone_pretraining"] = mono_pretrain
                     cfg["model"]["variant"] = name

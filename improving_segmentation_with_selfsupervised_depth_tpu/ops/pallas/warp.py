@@ -123,21 +123,19 @@ def _warp_band_tile(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *,
     y1c = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
 
     # dynamic candidate bounds for this tile (exact; tight when local).
-    # Mosaic only allows 8-aligned dynamic sublane starts, so the row loop
-    # walks aligned 8-row groups with a static inner unroll. Only x0
-    # drives the x-tile span: the sliding pair carries x0+1's value.
-    g_lo = jnp.min(y0c) // _SUB
-    g_hi = jnp.max(y1c) // _SUB
+    # Mosaic only allows 8-aligned dynamic sublane starts, so the general
+    # row loop walks aligned 8-row groups with a static inner unroll. Only
+    # x0 drives the x-tile span: the sliding pair carries x0+1's value.
+    y_min = jnp.min(y0c)
+    y_max = jnp.max(y1c)
+    g_lo = y_min // _SUB
+    g_hi = y_max // _SUB
     t_lo = jnp.min(x0c) // _LANE
     t_hi = jnp.max(x0c) // _LANE
 
     zero = jnp.zeros((_SUB, _LANE), jnp.int32)
 
-    # lane-tile loop OUTER so the per-tile x keys hoist out of the row
-    # loop (carrying bool masks across rows does not legalize in
-    # Mosaic's scf.for — explicit compares instead)
-    def tile_body(xt, accs):
-        xs = pl.multiple_of(xt * _LANE, _LANE)
+    def tile_keys(xt):
         xl0 = x0c - xt * _LANE
         # fold the in-tile test into the row key: out-of-tile lanes get
         # key -1 which never matches a row index
@@ -145,6 +143,14 @@ def _warp_band_tile(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *,
         key0 = jnp.where(in_tile, y0c, -1)
         key0b = jnp.where(in_tile, y1c, -1)
         xl0c = jnp.clip(xl0, 0, _LANE - 1)
+        return key0, key0b, xl0c
+
+    # lane-tile loop OUTER so the per-tile x keys hoist out of the row
+    # loop (carrying bool masks across rows does not legalize in
+    # Mosaic's scf.for — explicit compares instead)
+    def tile_body(xt, accs):
+        xs = pl.multiple_of(xt * _LANE, _LANE)
+        key0, key0b, xl0c = tile_keys(xt)
 
         def group_body(rg, accs):
             rs = pl.multiple_of(rg * _SUB, _SUB)
@@ -166,8 +172,43 @@ def _warp_band_tile(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *,
 
         return jax.lax.fori_loop(g_lo, g_hi + 1, group_body, accs)
 
+    # SMOOTH fast path: settled training grids have tiny per-tile y-span,
+    # but the aligned group scan above always pays >= 8 (usually 16)
+    # candidate rows. Here the row loop runs over the EXACT [y_min, y_max]
+    # range; each row is pulled from its aligned 8-row group with a dynamic
+    # sublane roll (pltpu.roll) — ~2x the per-row cost of the group scan,
+    # so it wins only when the span is small (cond below).
+    def tile_body_smooth(xt, accs):
+        xs = pl.multiple_of(xt * _LANE, _LANE)
+        key0, key0b, xl0c = tile_keys(xt)
+
+        def row_body(r, accs):
+            g = r // _SUB
+            rs = pl.multiple_of(g * _SUB, _SUB)
+            shift = (_SUB - (r - g * _SUB)) % _SUB
+            m_top = key0 == r
+            m_bot = key0b == r
+            accs = list(accs)
+            for ci in range(c):
+                blk = src_ref[0, ci, pl.ds(rs, _SUB), pl.ds(xs, _LANE)]
+                row = pltpu.roll(blk, shift, axis=0)[0:1, :]
+                seg = jnp.broadcast_to(row, (_SUB, _LANE))
+                v = jnp.take_along_axis(seg, xl0c, axis=1)
+                a_top, a_bot = accs[ci]
+                accs[ci] = (jnp.where(m_top, v, a_top),
+                            jnp.where(m_bot, v, a_bot))
+            return tuple(accs)
+
+        return jax.lax.fori_loop(y_min, y_max + 1, row_body, accs)
+
     init = tuple((zero, zero) for _ in range(c))
-    accs = jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, init)
+    # break-even: smooth scans (span+1) rows at ~2x/row; group scan pays
+    # 8*(g_span+1) rows. span < 6 keeps the smooth path strictly cheaper.
+    accs = jax.lax.cond(
+        y_max - y_min < 6,
+        lambda a: jax.lax.fori_loop(t_lo, t_hi + 1, tile_body_smooth, a),
+        lambda a: jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, a),
+        init)
 
     sl = slice(lt * _LANE, (lt + 1) * _LANE)
     one_m_fx = 1.0 - fx

@@ -127,3 +127,33 @@ def test_warp_kernel_multi_grid_matches_single():
                 np.asarray(dfx[g]), np.asarray(fx1[0].transpose(2, 0, 1)))
             np.testing.assert_array_equal(
                 np.asarray(dfy[g]), np.asarray(fy1[0].transpose(2, 0, 1)))
+
+
+def test_warp_kernel_smooth_fast_path():
+    """Settled-regime grids (tiny per-tile span) take the kernel's smooth
+    row-scan path (dynamic-roll row extraction, warp.py tile_body_smooth).
+    Pin exact indexing across 8-row group straddles, fractional sub-pixel
+    offsets, and image borders."""
+    from improving_segmentation_with_selfsupervised_depth_tpu.ops.pallas.warp import (
+        bilinear_warp_corners, unnormalize_grid)
+    from improving_segmentation_with_selfsupervised_depth_tpu.ops.resample import (
+        grid_sample)
+
+    N, H, W, C = 2, 64, 128, 3
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.uniform(0, 1, (N, H, W, C)).astype(np.float32))
+    img = img.astype(jnp.bfloat16).astype(jnp.float32)  # bf16-exact values
+    gy, gx = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+                         indexing="ij")
+    # constant shift of 7.5 rows crosses every aligned 8-row group boundary;
+    # +smooth low-amplitude ripple keeps per-tile span < 6 (the cond bound);
+    # the shift also drives bottom rows past the border-clamp edge
+    ripple = 0.8 * np.sin(np.linspace(0, 6.28, W))[None, None, :]
+    gx2 = gx[None] + (3.25 + ripple) * 2 / (W - 1)
+    gy2 = gy[None] + (7.5 - ripple) * 2 / (H - 1)
+    grid = jnp.asarray(np.broadcast_to(np.stack([gx2[0], gy2[0]], -1),
+                                       (N, H, W, 2)).astype(np.float32))
+    ix, iy = unnormalize_grid(grid, H, W)
+    out, dfx, dfy = bilinear_warp_corners(img, ix, iy, interpret=True)
+    ref = grid_sample(img, grid, align_corners=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
