@@ -231,11 +231,32 @@ def bench_workload(name, model_cfg, step_cfg, batch_size, with_ema=False,
     return res
 
 
+def _probe_smooth_warp() -> bool:
+    """Compile-probe the warp kernel's smooth-grid fast path on the real
+    backend. The fast path's dynamic-shift `pltpu.roll` is the one Mosaic
+    construct in this repo with toolchain-version risk; if it fails to
+    compile, drop to the always-legal group-scan kernel (set_smooth_path
+    clears the jit cache) instead of failing the whole bench."""
+    if jax.default_backend() != "tpu":
+        return True
+    from improving_segmentation_with_selfsupervised_depth_tpu.ops.pallas import warp
+    try:
+        img = jnp.zeros((1, 8, 128, 1), jnp.float32)
+        ix = jnp.zeros((1, 8, 128), jnp.float32)
+        iy = jnp.zeros((1, 8, 128), jnp.float32)
+        jax.block_until_ready(warp.bilinear_warp_corners_nchw(img, ix, iy))
+        return True
+    except Exception:
+        warp.set_smooth_path(False)
+        return False
+
+
 def main():
     from improving_segmentation_with_selfsupervised_depth_tpu.engine.train_steps import (
         StepConfig,
     )
 
+    warp_smooth_ok = _probe_smooth_warp()
     results = {}
 
     results["sde_supervised"] = bench_workload(
@@ -299,6 +320,7 @@ def main():
         "baseline_imgs_per_sec": head.get("baseline_imgs_per_sec", 0.0),
         "baseline_kind": BASELINE_KIND,
         "headline_mode": "steady_state" if "steady_state" in head else "cold",
+        "warp_smooth_path": warp_smooth_ok,
         "workloads": results,
     }))
 

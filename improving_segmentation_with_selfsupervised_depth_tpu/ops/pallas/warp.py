@@ -58,6 +58,7 @@ so the custom VJP in ops/resample.py is purely elementwise (no re-gather).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +67,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 _SUB = 8     # sublanes per output tile
 _LANE = 128  # lanes per output tile
+
+# The smooth-grid fast path pulls exact candidate rows with a DYNAMIC-shift
+# `pltpu.roll` — legal in interpret mode and on current Mosaic, but gated so
+# callers (bench.py probes it at startup) can drop back to the always-legal
+# aligned group scan if a TPU toolchain rejects the dynamic rotate.
+_smooth_path_enabled = os.environ.get("SSD_TPU_WARP_SMOOTH", "1") == "1"
+
+
+def set_smooth_path(enabled: bool) -> None:
+    """Toggle the smooth-grid row scan; clears the jit cache so already-traced
+    warp calls re-lower with the new loop structure."""
+    global _smooth_path_enabled
+    _smooth_path_enabled = bool(enabled)
+    bilinear_warp_corners_nchw.clear_cache()
+    bilinear_warp_corners.clear_cache()
 
 
 def _unpack_pair(g: jnp.ndarray):
@@ -204,11 +220,14 @@ def _warp_band_tile(ix_ref, iy_ref, src_ref, out_ref, dfx_ref, dfy_ref, *,
     init = tuple((zero, zero) for _ in range(c))
     # break-even: smooth scans (span+1) rows at ~2x/row; group scan pays
     # 8*(g_span+1) rows. span < 6 keeps the smooth path strictly cheaper.
-    accs = jax.lax.cond(
-        y_max - y_min < 6,
-        lambda a: jax.lax.fori_loop(t_lo, t_hi + 1, tile_body_smooth, a),
-        lambda a: jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, a),
-        init)
+    if _smooth_path_enabled:
+        accs = jax.lax.cond(
+            y_max - y_min < 6,
+            lambda a: jax.lax.fori_loop(t_lo, t_hi + 1, tile_body_smooth, a),
+            lambda a: jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, a),
+            init)
+    else:
+        accs = jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, init)
 
     sl = slice(lt * _LANE, (lt + 1) * _LANE)
     one_m_fx = 1.0 - fx

@@ -157,3 +157,29 @@ def test_warp_kernel_smooth_fast_path():
     out, dfx, dfy = bilinear_warp_corners(img, ix, iy, interpret=True)
     ref = grid_sample(img, grid, align_corners=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_warp_kernel_smooth_path_toggle():
+    """`set_smooth_path(False)` (bench.py's Mosaic-fallback probe) routes all
+    tiles through the aligned group scan; results must match the default
+    kernel bit-for-bit on a smooth grid that would otherwise take the
+    dynamic-roll path."""
+    from improving_segmentation_with_selfsupervised_depth_tpu.ops.pallas import warp
+
+    N, H, W, C = 1, 32, 128, 2
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 1, (N, H, W, C)).astype(np.float32))
+    gy, gx = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+                         indexing="ij")
+    grid = jnp.asarray(np.broadcast_to(
+        np.stack([gx + 1.7 * 2 / (W - 1), gy + 2.2 * 2 / (H - 1)], -1),
+        (N, H, W, 2)).astype(np.float32))
+    ix, iy = warp.unnormalize_grid(grid, H, W)
+    default = warp.bilinear_warp_corners(img, ix, iy, interpret=True)
+    warp.set_smooth_path(False)
+    try:
+        fallback = warp.bilinear_warp_corners(img, ix, iy, interpret=True)
+    finally:
+        warp.set_smooth_path(True)
+    for a, b in zip(default, fallback):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
