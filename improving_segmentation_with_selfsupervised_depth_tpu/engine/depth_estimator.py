@@ -54,28 +54,59 @@ def decoder_variant(cfg: Dict[str, Any], dec: int, crop) -> Dict[str, Any]:
     return cfg, load_backbone
 
 
+# The semantic contract for turning an experiment config into its depth
+# teacher (reference loader/depth_estimator.py:15-40), as data: section ->
+# {key: value}, where the _DROP sentinel removes the key. The teacher is a
+# pose-free, seg-less, full-image (no crop/augment) depth-only model.
+_DROP = object()
+_TEACHER_OVERRIDES: Dict[str, Dict[str, Any]] = {
+    "model": {
+        "arch": "joint_segmentation_depth",
+        "segmentation_name": None,
+        "disable_monodepth": False,
+        "disable_pose": True,
+    },
+    "data": {
+        "augmentations": {},
+        "crop_h": _DROP,
+        "crop_w": _DROP,
+    },
+}
+
+
+def _teacher_cfg(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Apply _TEACHER_OVERRIDES, then point both backbone and depth
+    pretraining at the single configured weight source (exactly one of
+    `data.depth_teacher` / `model.depth_estimator_weights`)."""
+    cfg = deepcopy(cfg)
+    for section, overrides in _TEACHER_OVERRIDES.items():
+        for key, value in overrides.items():
+            if value is _DROP:
+                cfg[section].pop(key, None)
+            else:
+                cfg[section][key] = value
+
+    teacher = cfg["data"].get("depth_teacher")
+    own = cfg["model"].get("depth_estimator_weights")
+    assert not (teacher is not None and own is not None), \
+        "depth_teacher and depth_estimator_weights are mutually exclusive"
+    if teacher is not None:
+        # external teacher checkpoints are always the r101/dec6 SDE geometry
+        cfg["model"]["backbone_name"] = "resnet101"
+        cfg, _ = decoder_variant(cfg, 6, (512, 512))
+    source = teacher if teacher is not None else own
+    if source is not None:
+        for key in ("backbone_pretraining", "depth_pretraining"):
+            cfg["model"][key] = source
+    # with no explicit source the config must already carry one consistent
+    # pretraining pair (reference asserts the same invariant)
+    assert cfg["model"]["depth_pretraining"] == cfg["model"]["backbone_pretraining"]
+    return cfg
+
+
 class DepthEstimator:
     def __init__(self, cfg: Dict[str, Any]):
-        cfg = deepcopy(cfg)
-        cfg["model"]["arch"] = "joint_segmentation_depth"
-        cfg["model"]["segmentation_name"] = None
-        cfg["model"]["disable_monodepth"] = False
-        cfg["model"]["disable_pose"] = True
-        cfg["data"]["augmentations"] = {}
-        cfg["data"].pop("crop_h", None)
-        cfg["data"].pop("crop_w", None)
-        assert not (cfg["data"].get("depth_teacher") is not None
-                    and cfg["model"].get("depth_estimator_weights") is not None)
-        if cfg["data"].get("depth_teacher") is not None:
-            cfg["model"]["backbone_name"] = "resnet101"
-            cfg, _ = decoder_variant(cfg, 6, (512, 512))
-            cfg["model"]["depth_pretraining"] = cfg["data"]["depth_teacher"]
-            cfg["model"]["backbone_pretraining"] = cfg["data"]["depth_teacher"]
-        if cfg["model"].get("depth_estimator_weights") is not None:
-            cfg["model"]["backbone_pretraining"] = cfg["model"]["depth_estimator_weights"]
-            cfg["model"]["depth_pretraining"] = cfg["model"]["depth_estimator_weights"]
-        assert cfg["model"]["depth_pretraining"] == cfg["model"]["backbone_pretraining"]
-
+        cfg = _teacher_cfg(cfg)
         self.cfg = cfg
         self.depth_dir = cfg["data"]["generated_depth_dir"]
 

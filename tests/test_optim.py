@@ -207,3 +207,52 @@ def test_asgd_multi_group_with_schedule_matches_torch():
                                t_enc.detach().numpy(), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(p["segmentation"]["w"]),
                                t_seg.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_plateau_lr_scale_composes_with_momentum_like_torch():
+    """The trainer applies the plateau controller as a post-`tx.update`
+    multiplier (train_steps.py lr_scale), NOT by rescaling optimizer state.
+    That is exactly torch's ReduceLROnPlateau+SGD semantics: reducing lr
+    scales future steps only, while the momentum buffer keeps accumulating
+    raw gradients. Pin the COMBINED trajectory against torch driving a real
+    ReduceLROnPlateau (reference train.py lr_scheduler usage)."""
+    import optax
+
+    rng = np.random.default_rng(7)
+    w0 = rng.standard_normal((6,)).astype(np.float32)
+    gs = [rng.standard_normal((6,)).astype(np.float32) for _ in range(8)]
+    # metric plateaus after step 1 -> with patience=1 torch reduces lr at
+    # the 3rd bad epoch; feed the same metric stream to both sides.
+    metrics = [0.9, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]
+
+    tw = torch.tensor(w0, requires_grad=True)
+    opt = torch.optim.SGD([tw], lr=0.02, momentum=0.9, weight_decay=1e-4)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.1, patience=1)
+    for g, m in zip(gs, metrics):
+        tw.grad = torch.tensor(g)
+        opt.step()
+        sched.step(m)
+
+    params = {"segmentation": {"w": jnp.asarray(w0)}}
+    cfg = {"optimizer": {"name": "sgd", "lr": 0.02, "momentum": 0.9,
+                         "weight_decay": 1e-4}, "lr_schedule": None}
+    tx = build_optimizer(cfg, {}, params)
+    state = tx.init(params)
+    p = params
+    # host-side plateau controller mirroring Trainer._plateau_step (mode=min)
+    lr_scale, best, count, patience, factor = 1.0, float("inf"), 0, 1, 0.1
+    for g, m in zip(gs, metrics):
+        grads = {"segmentation": {"w": jnp.asarray(g)}}
+        updates, state = tx.update(grads, state, p)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+        p = optax.apply_updates(p, updates)
+        if m < best:
+            best, count = m, 0
+        else:
+            count += 1
+            if count > patience:
+                lr_scale, count = lr_scale * factor, 0
+
+    np.testing.assert_allclose(np.asarray(p["segmentation"]["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)

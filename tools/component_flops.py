@@ -80,14 +80,13 @@ def main():
         lambda v, f: sd.apply(v, f, train=False), sv, feats)))
 
     # pose: resnet18 encoder on stacked pairs (2 pairs batched: 2B) + decoder
-    pe = ResNetEncoder(depth=18, in_images=2, dtype=DTYPE)
+    pe = ResNetEncoder(depth=18, num_input_images=2, dtype=DTYPE)
     xp = jnp.zeros((2 * B, H, W, 6), jnp.float32)
     pev = pe.init(rng, xp)
     pfeats = pe.apply(pev, xp)
     rows.append(("pose encoder (2 pairs)", train_flops(
         lambda v, x: pe.apply(v, x), pev, xp)))
-    pd = PoseDecoder(num_ch_enc=tuple(f.shape[-1] for f in pfeats),
-                     num_input_features=1, num_frames_to_predict_for=2,
+    pd = PoseDecoder(num_input_features=1, num_frames_to_predict_for=2,
                      dtype=DTYPE)
     pdv = pd.init(rng, [pfeats])
     rows.append(("pose decoder", train_flops(
