@@ -69,6 +69,17 @@ def main():
     rows.append(("depth decoder", train_flops(
         lambda v, f: dd.apply(v, f), dv, feats)))
 
+    # per-stage depth-decoder FLOPs via exec_layer prefixes: the TFLOP delta
+    # between running stages (4..i) and (4..i+1) is stage i's cost — join
+    # with trace_attrib's per-stage ms for per-stage achieved TF/s
+    prev = 0.0
+    for lo in (4, 3, 2, 1, 0):
+        layers = tuple(range(4, lo - 1, -1))
+        tf = train_flops(
+            lambda v, f, _l=layers: dd.apply(v, f, exec_layer=_l), dv, feats)
+        rows.append((f"  depth dec stage {lo} (marginal)", tf - prev))
+        prev = tf
+
     # seg transfer decoder (unet + folded head), layers=[9]
     sd = JointSegDepthDecoder(num_ch_enc=num_ch_enc, num_classes=19, layers=(9,),
                               depth_args={"intermediate_aspp": True,

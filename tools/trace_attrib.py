@@ -41,9 +41,19 @@ _COMPONENT_TAGS = [
 ]
 
 
+_STAGE_PAT = re.compile(r"(upconv_\d|dispconv_\d|skip_proj_\d|aspp)", re.I)
+
+
 def component_of(op_name: str) -> str:
     for tag, comp in _COMPONENT_TAGS:
         if tag in op_name:
+            # split the two U-Net decoders by stage (upconv_i names carry
+            # through Flax module paths into HLO op_name metadata), so a
+            # trace directly shows WHICH stage's convs are off-roofline
+            if comp in ("depth decoder", "seg unet_dec"):
+                m = _STAGE_PAT.search(op_name)
+                if m:
+                    return f"{comp}:{m.group(1)}"
             return comp
     parts = op_name.split("/")
     return parts[1] if len(parts) > 1 else op_name[:30]
