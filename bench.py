@@ -8,7 +8,7 @@ Workloads (reference counterparts in parentheses):
                      depthcomp mix + student fwd + labeled CE
                      (train.py:653-746)
   exp212_pad_online  PAD multi-task online-DepthMix step: 3 student forwards +
-                     photometric loss (train.py:679-698), encoder remat
+                     photometric loss (train.py:679-698)
 
 Measurement modes: monodepth workloads are timed twice —
   cold          at random init, where the predicted depth is spatially rough
@@ -283,7 +283,7 @@ def main():
         batch_size=8, with_ema=True)
 
     # exp-212 pad_transfer_dcompgt: PAD decoder + online-depth DepthMix
-    # (config/experiments.py:259-300); bs4 with encoder remat
+    # (config/experiments.py:259-300); bs4, no remat (see _model_cfg note)
     results["exp212_pad_online"] = bench_workload(
         "exp212_pad_online", _model_cfg(pad=True),
         StepConfig(monodepth_lambda=1.0, segmentation_lambda=1.0,
