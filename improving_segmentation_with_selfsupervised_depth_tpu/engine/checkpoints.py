@@ -33,23 +33,66 @@ def _tree_to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_resume(ckpt_dir: str, state: TrainState, best_iou: float) -> str:
-    """Save full training state (reference save_resume, train.py:360-375)."""
+# One in-flight async save at a time (a newer best-model save always joins
+# the previous one first, so writes land in order and at most one extra
+# state snapshot is alive).
+_pending_save: Optional["threading.Thread"] = None
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async `save_resume` write has landed.
+    Call before reading the checkpoint back or at trainer shutdown."""
+    global _pending_save
+    if _pending_save is not None:
+        _pending_save.join()
+        _pending_save = None
+
+
+def save_resume(ckpt_dir: str, state: TrainState, best_iou: float,
+                async_write: bool = False) -> str:
+    """Save full training state (reference save_resume, train.py:360-375).
+
+    Writes are atomic (tmp + rename), so a reader never sees a torn file.
+    With `async_write` the device->host gather + serialization + write run
+    on a background thread and training continues immediately — JAX arrays
+    are immutable, so the captured `state` is a consistent snapshot (it
+    keeps the old device buffers alive until the write finishes, i.e. one
+    extra model+optimizer state of HBM while a save is in flight). Use
+    `wait_for_saves()` before reading the file back.
+    """
+    global _pending_save
     os.makedirs(ckpt_dir, exist_ok=True)
-    payload = {
-        "step": np.asarray(state.step),
-        "params": _tree_to_numpy(state.params),
-        "batch_stats": _tree_to_numpy(state.batch_stats),
-        "opt_state": _tree_to_numpy(state.opt_state),
-        "lr_scale": np.asarray(state.lr_scale),
-    }
-    if state.ema_params is not None:
-        payload["ema_params"] = _tree_to_numpy(state.ema_params)
     path = os.path.join(ckpt_dir, "best_model.msgpack")
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(payload))
-    with open(os.path.join(ckpt_dir, "best_model.json"), "w") as f:
-        json.dump({"step": int(state.step), "best_iou": float(best_iou)}, f)
+    step_snapshot, best_snapshot = int(state.step), float(best_iou)
+
+    def _write():
+        payload = {
+            "step": np.asarray(state.step),
+            "params": _tree_to_numpy(state.params),
+            "batch_stats": _tree_to_numpy(state.batch_stats),
+            "opt_state": _tree_to_numpy(state.opt_state),
+            "lr_scale": np.asarray(state.lr_scale),
+        }
+        if state.ema_params is not None:
+            payload["ema_params"] = _tree_to_numpy(state.ema_params)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+        os.replace(tmp, path)
+        side = os.path.join(ckpt_dir, "best_model.json")
+        with open(side + ".tmp", "w") as f:
+            json.dump({"step": step_snapshot, "best_iou": best_snapshot}, f)
+        os.replace(side + ".tmp", side)
+
+    if async_write:
+        import threading
+
+        wait_for_saves()  # keep writes ordered, bound in-flight snapshots to 1
+        _pending_save = threading.Thread(target=_write, daemon=True)
+        _pending_save.start()
+    else:
+        wait_for_saves()
+        _write()
     return path
 
 
@@ -57,6 +100,7 @@ def load_resume(ckpt_path: str, state: TrainState, load_model_only: bool = False
     """Restore state from `save_resume` output (reference train.py:392-410).
 
     Returns (state, step, best_iou)."""
+    wait_for_saves()  # never read past an in-flight async write
     with open(ckpt_path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
 

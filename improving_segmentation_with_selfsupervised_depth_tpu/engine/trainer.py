@@ -32,6 +32,7 @@ from .checkpoints import (
     load_resume,
     save_monodepth_models,
     save_resume,
+    wait_for_saves,
 )
 from .early_stopping import EarlyStopping
 from .optim import build_optimizer
@@ -370,6 +371,7 @@ class Trainer:
                     flag = False
                     break
                 start_ts = time.time()
+        wait_for_saves()  # land any in-flight async checkpoint before return
         return step
 
     def _plateau_step(self, metric: float):
@@ -517,9 +519,14 @@ class Trainer:
                           num_workers=self.cfg["data"].get("n_workers", 2))
 
     def save_resume(self, step: int) -> str:
-        return save_resume(self.log_path, self.state, self.best_iou)
+        # async by default: the D2H gather + msgpack write overlap the next
+        # training steps (atomic rename; wait_for_saves() joins at train end)
+        return save_resume(self.log_path, self.state, self.best_iou,
+                           async_write=self.cfg["training"].get(
+                               "async_checkpoints", True))
 
     def load_resume(self, strict: bool = True, load_model_only: bool = False):
+        wait_for_saves()
         path = self.cfg["training"]["resume"]
         if os.path.isfile(path):
             self.state, self.start_iter, self.best_iou = load_resume(
