@@ -70,6 +70,20 @@ class Inference:
         model = self.model
         scfg = self.step_cfg
 
+        # spatial partitioning: shard the image H axis over `spatial_shards`
+        # devices (GSPMD conv halo exchange over ICI) so full-resolution
+        # frames fit where a single chip's HBM would not — a multi-chip
+        # capability beyond the single-GPU reference (parallel/spatial.py)
+        self._spatial_mesh = None
+        n_sp = int(cfg["training"].get("spatial_shards", 0) or 0)
+        if n_sp > 1 and len(jax.devices()) % n_sp == 0:
+            from ..parallel.spatial import spatial_mesh
+
+            self._spatial_mesh = spatial_mesh(n_sp)
+            variables = jax.device_put(
+                variables, jax.sharding.NamedSharding(
+                    self._spatial_mesh, jax.sharding.PartitionSpec()))
+
         @jax.jit
         def forward(batch):
             out = model.apply(variables, batch, train=False, use_pose=False)
@@ -85,6 +99,10 @@ class Inference:
         for batch in self.val_loader:
             b = {k: jnp.asarray(np.asarray(v)) for k, v in batch.items()
                  if k != "filename"}
+            if self._spatial_mesh is not None:
+                from ..parallel.spatial import shard_batch_spatial
+
+                b = shard_batch_spatial(b, self._spatial_mesh)
             outputs = self._forward(b)
             images = np.asarray(b[key_of("color_aug", 0, 0)])
             if self.cfg["training"].get("segmentation_lambda", 1.0) > 0 and \
@@ -130,6 +148,9 @@ def main(argv=None):
     parser.add_argument("--data", type=str,
                         default="MachineConfig.CITYSCAPES_DIR/leftImg8bit_small/val/")
     parser.add_argument("--machine", type=str, default="ws")
+    parser.add_argument("--spatial-shards", type=int, default=0,
+                        help="Shard the image H axis over this many devices "
+                             "(GSPMD halo exchange) for high-res inference")
     args = parser.parse_args(argv)
 
     with open(os.path.join(args.model, "cfg.yml")) as fp:
@@ -140,6 +161,7 @@ def main(argv=None):
     cfg["model"]["disable_pose"] = True
     cfg["training"]["log_path"] = "MachineConfig.LOG_DIR"
     cfg["training"]["resume"] = os.path.join(args.model, "best_model.msgpack")
+    cfg["training"]["spatial_shards"] = args.spatial_shards
     inference_main(cfg)
 
 

@@ -8,5 +8,13 @@ automatically under GSPMD — i.e. sync-BN by construction.
 """
 
 from .mesh import data_mesh, shard_batch, replicate, jit_train_step, jit_eval_step
+from .spatial import (
+    jit_spatial_forward,
+    shard_batch_spatial,
+    spatial_batch_sharding,
+    spatial_mesh,
+)
 
-__all__ = ["data_mesh", "shard_batch", "replicate", "jit_train_step", "jit_eval_step"]
+__all__ = ["data_mesh", "shard_batch", "replicate", "jit_train_step", "jit_eval_step",
+           "spatial_mesh", "spatial_batch_sharding", "shard_batch_spatial",
+           "jit_spatial_forward"]

@@ -101,3 +101,45 @@ def test_inference_cli_on_synthetic_checkpoint(tmp_path):
         outputs.extend(files)
     assert any(f.endswith("_label.png") for f in outputs)
     assert any(f.endswith("_depth.png") for f in outputs)
+
+
+def test_inference_cli_spatial_shards(tmp_path):
+    """Inference with the image H axis sharded over 4 of the 8 mesh devices
+    (training.spatial_shards) produces the same artifact set as unsharded;
+    numerics parity is pinned in tests/test_spatial_sharding.py."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from improving_segmentation_with_selfsupervised_depth_tpu.cli.inference_cli import (
+        Inference,
+    )
+
+    cfg = _pad_cfg(tmp_path)
+    cfg["model"]["segmentation_name"] = "joint_seg_depth_dec"
+    cfg["model"]["segmentation_args"] = {"layers": [9], "head_inter": False,
+                                         "output_stride": 1}
+    cfg["model"]["disable_pose"] = True
+    cfg["training"]["monodepth_lambda"] = 0.0
+    cfg["training"]["unlabeled_segmentation"] = None
+    trainer = Trainer(cfg, run_id="infsp")
+    trainer.train()
+    ckpt_dir = trainer.log_path
+
+    inf_cfg = {
+        **cfg,
+        "data": {**cfg["data"], "dataset": "synthetic"},
+        "training": {**cfg["training"],
+                     "resume": os.path.join(ckpt_dir, "best_model.msgpack"),
+                     "spatial_shards": 4},
+    }
+    out_dir = str(tmp_path / "inference_sp_out")
+    os.makedirs(out_dir, exist_ok=True)
+    inf = Inference(inf_cfg, out_dir, "infsp")
+    assert inf._spatial_mesh is not None
+    inf.run()
+    outputs = []
+    for root, _, files in os.walk(out_dir):
+        outputs.extend(files)
+    assert any(f.endswith("_label.png") for f in outputs)
