@@ -103,8 +103,14 @@ def main():
     ap.add_argument("--remat-photo", action="store_true",
                     help="jax.checkpoint the photometric loss chain (warp "
                          "outputs stay residuals)")
+    ap.add_argument("--rbg", action="store_true",
+                    help="A/B: use the rbg PRNG (hardware RNG lowering) for "
+                         "the in-step random bits (dropout/jitter/tie-break) "
+                         "instead of threefry")
     args = ap.parse_args()
     BATCH = args.batch
+    if args.rbg:
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     model = build_model(model_cfg, n_classes=19, dtype=jnp.bfloat16)
     batch = {k: jnp.asarray(v) for k, v in
