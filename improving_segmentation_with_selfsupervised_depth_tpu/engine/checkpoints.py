@@ -49,7 +49,7 @@ def wait_for_saves() -> None:
 
 
 def save_resume(ckpt_dir: str, state: TrainState, best_iou: float,
-                async_write: bool = False) -> str:
+                async_write: bool = False, basename: str = "best_model") -> str:
     """Save full training state (reference save_resume, train.py:360-375).
 
     Writes are atomic (tmp + rename), so a reader never sees a torn file.
@@ -62,7 +62,7 @@ def save_resume(ckpt_dir: str, state: TrainState, best_iou: float,
     """
     global _pending_save
     os.makedirs(ckpt_dir, exist_ok=True)
-    path = os.path.join(ckpt_dir, "best_model.msgpack")
+    path = os.path.join(ckpt_dir, basename + ".msgpack")
     step_snapshot, best_snapshot = int(state.step), float(best_iou)
 
     def _write():
@@ -79,7 +79,7 @@ def save_resume(ckpt_dir: str, state: TrainState, best_iou: float,
         with open(tmp, "wb") as f:
             f.write(serialization.to_bytes(payload))
         os.replace(tmp, path)
-        side = os.path.join(ckpt_dir, "best_model.json")
+        side = os.path.join(ckpt_dir, basename + ".json")
         with open(side + ".tmp", "w") as f:
             json.dump({"step": step_snapshot, "best_iou": best_snapshot}, f)
         os.replace(side + ".tmp", side)
@@ -120,7 +120,9 @@ def load_resume(ckpt_path: str, state: TrainState, load_model_only: bool = False
         payload["ema_params"] = serialization.from_state_dict(
             _tree_to_numpy(state.ema_params), raw["ema_params"])
 
-    meta_path = os.path.join(os.path.dirname(ckpt_path), "best_model.json")
+    meta_path = ckpt_path[:-len(".msgpack")] + ".json" \
+        if ckpt_path.endswith(".msgpack") else \
+        os.path.join(os.path.dirname(ckpt_path), "best_model.json")
     best_iou, step = -100.0, int(payload["step"])
     if os.path.exists(meta_path):
         with open(meta_path) as f:

@@ -268,6 +268,14 @@ class Trainer:
 
         if cfg["training"].get("resume"):
             self.load_resume()
+        elif cfg["training"].get("auto_resume", False):
+            # preemption recovery: when re-launched with the same log_path,
+            # pick up the rolling last_model checkpoint automatically
+            last = os.path.join(self.log_path, "last_model.msgpack")
+            if os.path.isfile(last):
+                self.state, self.start_iter, self.best_iou = load_resume(
+                    last, self.state)
+                self.logger.info("Auto-resumed %s (iter %d)", last, self.start_iter)
 
     # ------------------------------------------------------------------
     def _put(self, batch):
@@ -360,6 +368,14 @@ class Trainer:
                         self.best_iou = self.mIoU
                         if cfg["training"].get("save_model", True):
                             self.save_resume(step)
+                    if cfg["training"].get("save_last", True) and \
+                            cfg["training"].get("save_model", True):
+                        # rolling latest-state checkpoint for preemption
+                        # recovery (training.auto_resume picks it up)
+                        save_resume(self.log_path, self.state, self.best_iou,
+                                    async_write=cfg["training"].get(
+                                        "async_checkpoints", True),
+                                    basename="last_model")
                     if self.plateau is not None:
                         self._plateau_step(self.mIoU)
                     if self.early_stopping is not None and \

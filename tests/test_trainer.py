@@ -121,3 +121,21 @@ def test_semisup_trainer_with_depthmix(tmp_path):
     assert trainer.state.ema_params is not None
     # DepthMix composite debug panels were dumped (reference train.py:726-744)
     assert os.path.isdir(os.path.join(trainer.log_path, "class_mix_debug"))
+
+
+def test_auto_resume_from_last_model(tmp_path):
+    """Preemption recovery: a re-launched run with the same log_path and
+    training.auto_resume picks up the rolling last_model checkpoint."""
+    cfg = _base_cfg(tmp_path, auto_resume=True)
+    t1 = Trainer(cfg, run_id="t1")
+    assert t1.start_iter == 0
+    t1.train()
+    assert os.path.exists(os.path.join(t1.log_path, "last_model.msgpack"))
+
+    t2 = Trainer(_base_cfg(tmp_path, auto_resume=True), run_id="t1b")
+    assert t2.start_iter > 0  # resumed, not restarted
+    p1 = np.asarray(
+        __import__("jax").tree_util.tree_leaves(t1.state.params)[0])
+    p2 = np.asarray(
+        __import__("jax").tree_util.tree_leaves(t2.state.params)[0])
+    np.testing.assert_array_equal(p1, p2)
