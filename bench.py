@@ -256,6 +256,22 @@ def main():
         StepConfig,
     )
 
+    # a dead TPU tunnel makes backend init block forever: emit a
+    # self-describing failure line instead of hanging the driver
+    import signal
+
+    def _unreachable(signum, frame):
+        print(json.dumps({
+            "metric": "imgs_per_sec_sde_supervised", "value": 0.0,
+            "unit": "imgs/sec", "vs_baseline": 0.0,
+            "error": "backend init exceeded 900s (remote TPU unreachable?)"}))
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _unreachable)
+    signal.alarm(900)
+    jax.devices()
+    signal.alarm(0)
+
     warp_smooth_ok = _probe_smooth_warp()
     results = {}
 
