@@ -22,14 +22,16 @@ from ..ops.photometric import key_of
 
 
 def export_inference(model, variables, height: int, width: int,
-                     batch_size: int = 1,
+                     batch_size: Optional[int] = 1,
                      platforms: Optional[Sequence[str]] = None) -> bytes:
     """Serialize the pose-free forward at a fixed input geometry.
 
     `variables` ({"params", "batch_stats"}) are closed over, so the weights
     are embedded in the artifact — one self-contained file per deployment.
     `platforms` defaults to the current backend (pass ("tpu",) to
-    cross-export from a CPU host).
+    cross-export from a CPU host). `batch_size=None` exports a SYMBOLIC
+    batch dimension — one artifact serves any batch size (H/W stay static:
+    the decoder's upsample/resize logic is shape-specialized).
     """
     from jax import export as jexport
 
@@ -39,7 +41,11 @@ def export_inference(model, variables, height: int, width: int,
         return {k: v for k, v in out.items()
                 if k in ("semantics", "disp_0") and v is not None}
 
-    spec = jax.ShapeDtypeStruct((batch_size, height, width, 3), jnp.float32)
+    if batch_size is None:
+        (b,) = jexport.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b, height, width, 3), jnp.float32)
+    else:
+        spec = jax.ShapeDtypeStruct((batch_size, height, width, 3), jnp.float32)
     exp = jexport.export(jax.jit(forward),
                          platforms=tuple(platforms) if platforms else None)(spec)
     return exp.serialize()

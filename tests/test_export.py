@@ -87,3 +87,20 @@ def test_export_cli_end_to_end(tmp_path):
     serve = load_exported(str(out_path))
     out = serve(jnp.zeros((1, H, W, 3), jnp.float32))
     assert out["semantics"].shape == (1, H, W, 19)
+
+
+def test_export_symbolic_batch(tmp_path):
+    """batch_size=None bakes a symbolic batch dim: one artifact serves
+    any batch size."""
+    H = W = 64
+    model = build_model(MODEL_CFG, n_classes=19)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(1, H, W, frame_ids=(0, -1, 1),
+                                  num_scales=4).items()}
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)}, batch)
+    data = export_inference(model, variables, H, W, batch_size=None)
+    serve = load_exported(data)
+    for n in (1, 3):
+        out = serve(jnp.zeros((n, H, W, 3), jnp.float32))
+        assert out["semantics"].shape == (n, H, W, 19)
