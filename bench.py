@@ -13,7 +13,7 @@ Workloads (reference counterparts in parentheses):
 Measurement modes: monodepth workloads are timed twice —
   cold          at random init, where the predicted depth is spatially rough
                 and the Pallas warp kernel's candidate loop is at its widest
-  steady_state  after `WARMUP_STEPS` real training steps on the synthetic
+  steady_state  after a few hundred real training steps on the synthetic
                 scene with a settling LR schedule, the regime every real
                 training run spends >99% of its iterations in (the grids are
                 smooth; `grid_yspan_px` — mean per-(8,128)-tile span of
@@ -31,15 +31,31 @@ Prints ONE JSON line; `vs_baseline` derivation lives in BASELINE.md
 A100 bf16 peak over the same TFLOP/img -> ~30 imgs/sec proxy; the JSON
 carries `baseline_kind` so the ratio is self-describing).
 
-Each workload is compiled once (AOT) and timed with donated state over
-n_steps; a global time budget skips later workloads rather than overrunning
-the driver (skipped entries say so).
+Deadline safety: the driver bounds this process with its own timeout (the
+round-3 bench died rc=124 with no JSON line). Three layers of defense:
+  1. Pre-serialized programs. `bench_artifacts/*.hlo.gz` (committed; made by
+     tools/export_bench_steps.py) hold the init/step/yspan programs of every
+     workload as StableHLO, so the bench does ZERO model tracing — on the
+     1-core host, client-side tracing alone costs 3-5 min per workload
+     (round 3's stderr trace: 309 s init + 172 s step lowering for
+     sde_supervised). With artifacts, per-workload setup is deserialize
+     (~1 s) + a persistent-cache-served compile.
+  2. A watchdog thread snapshots results as each workload/mode completes
+     and, at BENCH_DEADLINE_S (default 440 s), prints whatever has been
+     measured so far as the one JSON line (`partial: true`) and exits 0 —
+     a timed-out bench degrades to fewer workloads instead of to nothing.
+  3. Time-bounded warmups and per-workload skip guards.
+Compiles are AOT and served by the persistent cache (.jax_cache), so a
+re-run after a warming run is dominated by step execution, not compilation.
 """
 
 from __future__ import annotations
 
+import gzip
 import json
 import os
+import sys
+import threading
 import time
 
 import jax
@@ -71,9 +87,59 @@ REF_TFLOP_PER_IMG = {
 }
 
 H = W = 512
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2400))
-WARMUP_STEPS = int(os.environ.get("BENCH_WARMUP_STEPS", 450))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 440))
+MIN_WARMUP = int(os.environ.get("BENCH_MIN_WARMUP", 250))
+MAX_WARMUP = int(os.environ.get("BENCH_MAX_WARMUP", 450))
+ART_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench_artifacts")
 _T0 = time.time()
+
+_LOCK = threading.Lock()
+_RESULTS: dict = {}       # workload name -> result dict, filled incrementally
+_META: dict = {"warp_smooth_path": None}
+
+
+def _left() -> float:
+    return DEADLINE_S - (time.time() - _T0)
+
+
+def _log(msg: str) -> None:
+    # progress to stderr: the one stdout line stays machine-parseable and a
+    # timed-out run's tail says exactly which stage ate the budget
+    print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _emit_line(partial: bool, note: str | None = None) -> str:
+    with _LOCK:
+        results = json.loads(json.dumps(_RESULTS))  # snapshot
+    head = results.get("sde_supervised", {})
+    head_stats = head.get("steady_state") or head.get("cold", {})
+    line = {
+        "metric": "train_imgs_per_sec",
+        "value": head_stats.get("imgs_per_sec", 0.0),
+        "unit": "imgs/sec",
+        "vs_baseline": head.get("vs_baseline", 0.0),
+        "baseline_imgs_per_sec": head.get("baseline_imgs_per_sec", 0.0),
+        "baseline_kind": BASELINE_KIND,
+        "headline_mode": "steady_state" if "steady_state" in head else "cold",
+        "warp_smooth_path": _META["warp_smooth_path"],
+        "workloads": results,
+    }
+    if partial:
+        line["partial"] = True
+    if note:
+        line["note"] = note
+    return json.dumps(line)
+
+
+def _watchdog():
+    # runs on its own thread: fires even if the main thread is blocked
+    # inside a compile RPC to the remote TPU
+    print(_emit_line(partial=True,
+                     note=f"deadline {DEADLINE_S:.0f}s hit; later "
+                          "workloads/modes skipped"), flush=True)
+    os._exit(0)
 
 
 def _model_cfg(pad: bool = False):
@@ -97,8 +163,8 @@ def _model_cfg(pad: bool = False):
     return cfg
 
 
-# the multi_step decay only matters for the steady_state warmup: by step
-# ~WARMUP_STEPS the lr has annealed and the depth/pose have settled into the
+# the multi_step decay only matters for the steady_state warmup: by the end
+# of warmup the lr has annealed and the depth/pose have settled into the
 # smooth-grid regime real training lives in; the schedule costs nothing in
 # the timed step (one multiply inside the compiled program). Decaying too
 # early freezes whatever roughness the oscillating high-lr phase happened to
@@ -107,29 +173,70 @@ def _model_cfg(pad: bool = False):
 _TRAINING_CFG = {
     "optimizer": {"name": "sgd", "lr": 1e-2, "momentum": 0.9, "backbone_lr": 1e-3},
     "lr_schedule": {"name": "multi_step",
-                    "milestones": [int(WARMUP_STEPS * 0.55),
-                                   int(WARMUP_STEPS * 0.9)],
+                    # 247/405: EXACTLY the round-3 values (450*0.55/450*0.9).
+                    # The milestones are baked into the compiled step as
+                    # constants, so keeping them bit-identical preserves the
+                    # persistent-cache key of the warmed train-step
+                    # executable — a cache miss costs a ~7-10 min compile
+                    # through the remote-TPU tunnel, which alone blows the
+                    # driver's timeout.
+                    "milestones": [247, 405],
                     "gamma": 0.1},
     "clip_grad_norm": 10.0,
 }
 
 
-def _build(model_cfg, step_cfg, batch_size, with_ema):
+def _step_cfgs():
+    """The three flagship workload definitions, shared with
+    tools/export_bench_steps.py so the committed artifacts are traced from
+    exactly the programs the bench times.
+
+    Returns [(name, model_cfg, step_cfg, batch_size, with_ema, steady)].
+    """
+    from improving_segmentation_with_selfsupervised_depth_tpu.engine.train_steps import (
+        StepConfig,
+    )
+
+    sde = StepConfig(monodepth_lambda=1.0, segmentation_lambda=1.0,
+                     frame_ids=(0, -1, 1), scales=(0, 1, 2, 3),
+                     photometric_dtype=jnp.bfloat16)  # amp: true parity
+
+    # exp-210 transfer_dcompgt: seg-only model (SDE-pretrained), offline
+    # pseudo-depth drives the depthcomp mask (config/experiments.py:110-143).
+    # No monodepth -> no warp -> no cold/steady distinction.
+    cfg210 = _model_cfg()
+    cfg210["disable_monodepth"] = True
+    cfg210["disable_pose"] = True
+    s210 = StepConfig(monodepth_lambda=0.0, segmentation_lambda=1.0,
+                      frame_ids=(0, -1, 1), scales=(0, 1, 2, 3),
+                      unlabeled=True, use_ema=True, mix_mask="depthcomp",
+                      unlabeled_color_jitter=True, unlabeled_blur=True,
+                      mix_use_gt=True, depthcomp_margin=0.03,
+                      depthcomp_foreground_threshold=0.0)
+
+    # exp-212 pad_transfer_dcompgt: PAD decoder + online-depth DepthMix
+    # (config/experiments.py:259-300); bs4, no remat (see _model_cfg note)
+    s212 = StepConfig(monodepth_lambda=1.0, segmentation_lambda=1.0,
+                      frame_ids=(0, -1, 1), scales=(0, 1, 2, 3),
+                      unlabeled=True, use_ema=True, mix_mask="depthcomp",
+                      unlabeled_color_jitter=True, unlabeled_blur=True,
+                      mix_use_gt=True, depthcomp_margin=0.03,
+                      depthcomp_foreground_threshold=0.0,
+                      depthmix_online_depth=True,
+                      photometric_dtype=jnp.bfloat16)  # amp: true parity
+
+    return [
+        ("sde_supervised", _model_cfg(), sde, 8, False, True),
+        ("exp210_depthcomp", cfg210, s210, 8, True, False),
+        ("exp212_pad_online", _model_cfg(pad=True), s212, 4, True, True),
+    ]
+
+
+def _make_batches(step_cfg, batch_size):
     from improving_segmentation_with_selfsupervised_depth_tpu.data.synthetic import (
         make_synthetic_batch,
     )
-    from improving_segmentation_with_selfsupervised_depth_tpu.engine.optim import (
-        build_optimizer,
-    )
-    from improving_segmentation_with_selfsupervised_depth_tpu.engine.state import (
-        create_train_state,
-    )
-    from improving_segmentation_with_selfsupervised_depth_tpu.engine.train_steps import (
-        make_train_step,
-    )
-    from improving_segmentation_with_selfsupervised_depth_tpu.models import build_model
 
-    model = build_model(model_cfg, n_classes=19, dtype=jnp.bfloat16)
     batch = {k: jnp.asarray(v) for k, v in
              make_synthetic_batch(batch_size, H, W, frame_ids=(0, -1, 1),
                                   num_scales=4).items()}
@@ -139,21 +246,15 @@ def _build(model_cfg, step_cfg, batch_size, with_ema):
                   make_synthetic_batch(batch_size, H, W, frame_ids=(0, -1, 1),
                                        num_scales=4, with_unlabeled_extras=True,
                                        seed=7).items()}
-    params = model.init({"params": jax.random.PRNGKey(0),
-                         "dropout": jax.random.PRNGKey(0)}, batch)
-    tx = build_optimizer(_TRAINING_CFG, model_cfg, params["params"])
-    state = create_train_state(model, jax.random.PRNGKey(0), batch, tx,
-                               with_ema=with_ema)
-    step = jax.jit(make_train_step(model, step_cfg, tx), donate_argnums=(0,))
-    return step, state, batch, ubatch, model
+    return batch, ubatch
 
 
-def _grid_yspan(model, step_cfg, state, batch):
+def make_yspan_fn(model, step_cfg):
     """Mean per-(8,128)-tile span of clamped sample-grid rows (scale 0,
-    frame +1) — the quantity the warp kernel's candidate loop scales with."""
+    frame +1) — the quantity the warp kernel's candidate loop scales with.
+    Shared with tools/export_bench_steps.py (exported per steady workload)."""
     from improving_segmentation_with_selfsupervised_depth_tpu.ops import photometric
 
-    @jax.jit
     def f(state, batch):
         outputs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -166,7 +267,86 @@ def _grid_yspan(model, step_cfg, state, batch):
         t = iy.reshape(-1, H // 8, 8, W // 128, 128)
         return jnp.mean(jnp.max(t, axis=(2, 4)) - jnp.min(t, axis=(2, 4)))
 
-    return round(float(f(state, batch)), 1)
+    return f
+
+
+def make_init_fn(model, model_cfg, training_cfg, with_ema, params_spec):
+    """One jitted program for the whole TrainState: params + batch_stats +
+    opt_state + EMA. Round 3's bench ran `model.init` TWICE (once directly,
+    once inside create_train_state) and then built opt/EMA state eagerly
+    op-by-op through the TPU tunnel — 309 s of the deadline on the 1-core
+    host. `params_spec` (from eval_shape or a concrete tree) feeds the
+    optimizer's param-group labeling, which only reads tree structure.
+
+    Returns (init_fn(rng, batch) -> TrainState, tx). Shared with
+    tools/export_bench_steps.py.
+    """
+    from improving_segmentation_with_selfsupervised_depth_tpu.engine.optim import (
+        build_optimizer,
+    )
+    from improving_segmentation_with_selfsupervised_depth_tpu.engine.state import (
+        TrainState,
+        init_ema_params,
+    )
+
+    tx = build_optimizer(training_cfg, model_cfg, params_spec)
+
+    def init_fn(rng, batch):
+        variables = model.init({"params": rng, "dropout": rng}, batch)
+        params = variables["params"]
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            ema_params=init_ema_params(params) if with_ema else None,
+        )
+
+    return init_fn, tx
+
+
+def _load_exported(name, kind):
+    from jax import export as jexport
+
+    path = os.path.join(ART_DIR, f"{name}.{kind}.hlo.gz")
+    with gzip.open(path, "rb") as f:
+        return jexport.deserialize(bytearray(f.read()))
+
+
+def _build_from_artifacts(name, step_cfg, batch_size, steady):
+    """Deserialize the committed StableHLO programs — no model tracing."""
+    batch, ubatch = _make_batches(step_cfg, batch_size)
+    exp_init = _load_exported(name, "init")
+    exp_step = _load_exported(name, "step")
+    yspan = None
+    if steady:
+        yspan = jax.jit(_load_exported(name, "yspan").call)
+    _log(f"{name}: artifacts deserialized; running init")
+    state = jax.jit(exp_init.call)(jax.random.PRNGKey(0), batch)
+    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+    return exp_step.call, state, batch, ubatch, yspan
+
+
+def _build_live(model_cfg, step_cfg, batch_size, with_ema, steady):
+    """Fallback: trace the model here (3-5 min/workload on the 1-core host)."""
+    from improving_segmentation_with_selfsupervised_depth_tpu.engine.train_steps import (
+        make_train_step,
+    )
+    from improving_segmentation_with_selfsupervised_depth_tpu.models import build_model
+
+    model = build_model(model_cfg, n_classes=19, dtype=jnp.bfloat16)
+    batch, ubatch = _make_batches(step_cfg, batch_size)
+    rng = jax.random.PRNGKey(0)
+    var_spec = jax.eval_shape(
+        lambda r, b: model.init({"params": r, "dropout": r}, b), rng, batch)
+    init_fn, tx = make_init_fn(model, model_cfg, _TRAINING_CFG, with_ema,
+                               var_spec["params"])
+    _log("live build: init program compile")
+    state = jax.jit(init_fn)(rng, batch)
+    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+    step_fn = make_train_step(model, step_cfg, tx)
+    yspan = jax.jit(make_yspan_fn(model, step_cfg)) if steady else None
+    return step_fn, state, batch, ubatch, yspan
 
 
 def _time(compiled, state, batch, ubatch, rng, n_steps):
@@ -179,16 +359,53 @@ def _time(compiled, state, batch, ubatch, rng, n_steps):
     return (time.perf_counter() - t0) / n_steps, state
 
 
+def _finalize(name):
+    """Attach the per-workload baseline proxy + vs_baseline in place, so a
+    watchdog snapshot taken at any moment is self-consistent."""
+    r = _RESULTS.get(name)
+    if not r or "tflop_per_step" not in r:
+        return
+    proxy = A100_PEAK * REF_ASSUMED_MFU / (REF_TFLOP_PER_IMG[name] * 1e12)
+    with _LOCK:
+        r["baseline_imgs_per_sec"] = round(proxy, 2)
+        for mode in ("cold", "steady_state"):
+            if mode in r:
+                r[mode]["vs_baseline"] = round(r[mode]["imgs_per_sec"] / proxy, 3)
+        # headline per workload: the training regime (steady when measured)
+        r["vs_baseline"] = (r.get("steady_state") or r["cold"])["vs_baseline"]
+
+
 def bench_workload(name, model_cfg, step_cfg, batch_size, with_ema=False,
-                   n_steps=10, steady=False):
-    if time.time() - _T0 > BUDGET_S:
-        return {"skipped": f"time budget {BUDGET_S:.0f}s exceeded"}
-    step, state, batch, ubatch, model = _build(model_cfg, step_cfg, batch_size,
-                                               with_ema)
+                   n_steps=10, steady=False, reserve_s=60.0):
+    """Measure one workload; mutates _RESULTS[name] incrementally.
+
+    `reserve_s`: stop this workload's steady warmup when less than this many
+    seconds remain before the deadline, leaving room for later workloads.
+    """
+    if _left() < 45:
+        _RESULTS[name] = {"skipped": f"deadline {DEADLINE_S:.0f}s near"}
+        return
+    built = None
+    if (_META["warp_smooth_path"] is not False
+            and os.environ.get("BENCH_NO_ARTIFACTS", "") == ""
+            and jax.default_backend() == "tpu"):
+        try:
+            _log(f"{name}: loading pre-serialized programs")
+            built = _build_from_artifacts(name, step_cfg, batch_size, steady)
+        except Exception as e:  # missing/stale artifact -> trace live
+            _log(f"{name}: artifact path unavailable ({type(e).__name__}: "
+                 f"{e}); tracing live")
+    if built is None:
+        _log(f"{name}: live build (init + optimizer)")
+        built = _build_live(model_cfg, step_cfg, batch_size, with_ema, steady)
+    step_fn, state, batch, ubatch, yspan = built
     rng = jax.random.PRNGKey(0)
 
     # AOT: one compile serves cost analysis AND execution
-    compiled = step.lower(state, batch, ubatch, rng).compile()
+    _log(f"{name}: lower + compile train step")
+    compiled = jax.jit(step_fn, donate_argnums=(0,)).lower(
+        state, batch, ubatch, rng).compile()
+    _log(f"{name}: compiled; timing cold")
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
@@ -209,26 +426,35 @@ def bench_workload(name, model_cfg, step_cfg, batch_size, with_ema=False,
         "tflop_per_step": round(flops / 1e12, 3),
         "cold": stats(dt_cold),
     }
-    if steady and time.time() - _T0 < BUDGET_S:
-        res["cold"]["grid_yspan_px"] = _grid_yspan(model, step_cfg, state, batch)
-        for _ in range(WARMUP_STEPS):
-            state, _ = compiled(state, batch, ubatch, rng)
-        # warmup trajectories vary; extend while the grids are still rough
-        # (bounded) so steady_state means what it says
-        yspan = _grid_yspan(model, step_cfg, state, batch)
-        extra = 0
-        # "steady" means the settled training regime: tools/bench_steady.py
-        # ladders show yspan ~60 still costs ~10% step time vs yspan <20
-        while yspan > 25 and extra < 5 and time.time() - _T0 < BUDGET_S:
-            for _ in range(150):
+    with _LOCK:
+        _RESULTS[name] = res
+    _finalize(name)
+    if steady and _left() > reserve_s:
+        res["cold"]["grid_yspan_px"] = round(float(yspan(state, batch)), 1)
+        # time-bounded warmup: run in 50-step chunks until the grid has
+        # settled (yspan <= 25 — tools/bench_steady.py ladders show yspan
+        # ~60 still costs ~10% step time) or the step/deadline budget is out
+        _log(f"{name}: cold done; steady warmup")
+        steps_done = 0
+        yv = None
+        while steps_done < MAX_WARMUP and _left() > reserve_s:
+            for _ in range(50):
                 state, _ = compiled(state, batch, ubatch, rng)
-            yspan = _grid_yspan(model, step_cfg, state, batch)
-            extra += 1
-        dt_ss, state = _time(compiled, state, batch, ubatch, rng, n_steps)
-        res["steady_state"] = stats(dt_ss)
-        res["steady_state"]["grid_yspan_px"] = _grid_yspan(model, step_cfg,
-                                                           state, batch)
-    return res
+            steps_done += 50
+            if steps_done >= MIN_WARMUP and steps_done % 100 == 0:
+                yv = round(float(yspan(state, batch)), 1)
+                if yv <= 25:
+                    break
+        if _left() > 0:
+            _log(f"{name}: warmup {steps_done} steps (yspan {yv}); "
+                 "timing steady")
+            dt_ss, state = _time(compiled, state, batch, ubatch, rng, n_steps)
+            with _LOCK:
+                res["steady_state"] = stats(dt_ss)
+                res["steady_state"]["warmup_steps"] = steps_done
+                res["steady_state"]["grid_yspan_px"] = round(
+                    float(yspan(state, batch)), 1)
+            _finalize(name)
 
 
 def _probe_smooth_warp() -> bool:
@@ -236,7 +462,9 @@ def _probe_smooth_warp() -> bool:
     backend. The fast path's dynamic-shift `pltpu.roll` is the one Mosaic
     construct in this repo with toolchain-version risk; if it fails to
     compile, drop to the always-legal group-scan kernel (set_smooth_path
-    clears the jit cache) instead of failing the whole bench."""
+    clears the jit cache) instead of failing the whole bench. The
+    pre-serialized artifacts bake the smooth path in, so a failed probe also
+    disables the artifact route (bench_workload checks _META)."""
     if jax.default_backend() != "tpu":
         return True
     from improving_segmentation_with_selfsupervised_depth_tpu.ops.pallas import warp
@@ -252,93 +480,27 @@ def _probe_smooth_warp() -> bool:
 
 
 def main():
-    from improving_segmentation_with_selfsupervised_depth_tpu.engine.train_steps import (
-        StepConfig,
-    )
+    # fires even when the main thread is stuck in backend init against a
+    # dead TPU tunnel or inside a long uncached compile
+    timer = threading.Timer(max(DEADLINE_S - 12, 30), _watchdog)
+    timer.daemon = True
+    timer.start()
 
-    # a dead TPU tunnel makes backend init block forever: emit a
-    # self-describing failure line instead of hanging the driver
-    import signal
-
-    def _unreachable(signum, frame):
-        print(json.dumps({
-            "metric": "imgs_per_sec_sde_supervised", "value": 0.0,
-            "unit": "imgs/sec", "vs_baseline": 0.0,
-            "error": "backend init exceeded 900s (remote TPU unreachable?)"}))
-        os._exit(2)
-
-    signal.signal(signal.SIGALRM, _unreachable)
-    signal.alarm(900)
+    _log("backend init")
     jax.devices()
-    signal.alarm(0)
+    _log(f"backend up: {jax.default_backend()}; probing smooth warp")
+    _META["warp_smooth_path"] = _probe_smooth_warp()
 
-    warp_smooth_ok = _probe_smooth_warp()
-    results = {}
+    # leave room for exp210 + exp212 after the headline workload
+    reserves = {"sde_supervised": 150.0, "exp210_depthcomp": 60.0,
+                "exp212_pad_online": 15.0}
+    for name, model_cfg, step_cfg, batch_size, with_ema, steady in _step_cfgs():
+        bench_workload(name, model_cfg, step_cfg, batch_size,
+                       with_ema=with_ema, steady=steady,
+                       reserve_s=reserves[name])
 
-    results["sde_supervised"] = bench_workload(
-        "sde_supervised", _model_cfg(),
-        StepConfig(monodepth_lambda=1.0, segmentation_lambda=1.0,
-                   frame_ids=(0, -1, 1), scales=(0, 1, 2, 3),
-                   photometric_dtype=jnp.bfloat16),  # amp: true parity
-        batch_size=8, steady=True)
-
-    # exp-210 transfer_dcompgt: seg-only model (SDE-pretrained), offline
-    # pseudo-depth drives the depthcomp mask (config/experiments.py:110-143).
-    # No monodepth -> no warp -> no cold/steady distinction.
-    cfg210 = _model_cfg()
-    cfg210["disable_monodepth"] = True
-    cfg210["disable_pose"] = True
-    results["exp210_depthcomp"] = bench_workload(
-        "exp210_depthcomp", cfg210,
-        StepConfig(monodepth_lambda=0.0, segmentation_lambda=1.0,
-                   frame_ids=(0, -1, 1), scales=(0, 1, 2, 3),
-                   unlabeled=True, use_ema=True, mix_mask="depthcomp",
-                   unlabeled_color_jitter=True, unlabeled_blur=True,
-                   mix_use_gt=True, depthcomp_margin=0.03,
-                   depthcomp_foreground_threshold=0.0),
-        batch_size=8, with_ema=True)
-
-    # exp-212 pad_transfer_dcompgt: PAD decoder + online-depth DepthMix
-    # (config/experiments.py:259-300); bs4, no remat (see _model_cfg note)
-    results["exp212_pad_online"] = bench_workload(
-        "exp212_pad_online", _model_cfg(pad=True),
-        StepConfig(monodepth_lambda=1.0, segmentation_lambda=1.0,
-                   frame_ids=(0, -1, 1), scales=(0, 1, 2, 3),
-                   unlabeled=True, use_ema=True, mix_mask="depthcomp",
-                   unlabeled_color_jitter=True, unlabeled_blur=True,
-                   mix_use_gt=True, depthcomp_margin=0.03,
-                   depthcomp_foreground_threshold=0.0,
-                   depthmix_online_depth=True,
-                   photometric_dtype=jnp.bfloat16),  # amp: true parity
-        batch_size=4, with_ema=True, steady=True)
-
-    # per-workload proxy: the reference's eager pipeline executes ITS
-    # (frozen, unfused) TFLOP/img on an A100 at the assumed MFU
-    # (BASELINE.md derivation + REF_TFLOP_PER_IMG note above)
-    for name, r in results.items():
-        if "tflop_per_step" not in r:
-            continue
-        proxy = A100_PEAK * REF_ASSUMED_MFU / (REF_TFLOP_PER_IMG[name] * 1e12)
-        r["baseline_imgs_per_sec"] = round(proxy, 2)
-        for mode in ("cold", "steady_state"):
-            if mode in r:
-                r[mode]["vs_baseline"] = round(r[mode]["imgs_per_sec"] / proxy, 3)
-        # headline per workload: the training regime (steady when measured)
-        r["vs_baseline"] = (r.get("steady_state") or r["cold"])["vs_baseline"]
-
-    head = results["sde_supervised"]
-    head_stats = head.get("steady_state") or head.get("cold", {})
-    print(json.dumps({
-        "metric": "train_imgs_per_sec",
-        "value": head_stats.get("imgs_per_sec", 0.0),
-        "unit": "imgs/sec",
-        "vs_baseline": head.get("vs_baseline", 0.0),
-        "baseline_imgs_per_sec": head.get("baseline_imgs_per_sec", 0.0),
-        "baseline_kind": BASELINE_KIND,
-        "headline_mode": "steady_state" if "steady_state" in head else "cold",
-        "warp_smooth_path": warp_smooth_ok,
-        "workloads": results,
-    }))
+    timer.cancel()
+    print(_emit_line(partial=False), flush=True)
 
 
 if __name__ == "__main__":
