@@ -21,6 +21,19 @@ Measurement modes: monodepth workloads are timed twice —
 The headline `value`/`vs_baseline` use steady_state, matching the
 reference's own steady-state `time_per_image` telemetry (train.py:787-788).
 
+Timing protocol: every number is measured by a SCAN-CHAINED program — a
+single executable running SCAN_LEN train steps under `lax.scan` with the
+state as carry and a per-iteration `fold_in` rng — so one remote execution
+covers the whole timed window. Host-side python loops over the step
+executable are NOT trusted on the tunneled-TPU relay: a controlled A/B
+(2026-08-19, this host) measured the same rough-grid state at 1081 ms/step
+by scan chain vs ~294 ms/step by async python loop (identical OR varied rng,
+final-value block) — the relay under-reports dependent call chains by ~3.7x.
+Device-trace profiles (docs/profile_r03.md) corroborate the scan numbers.
+Rounds 1-3 recorded loop-protocol throughputs; their RELATIVE ladder
+decisions were device-trace-checked, but absolute imgs/s from those rounds
+are not comparable to these.
+
 Batch sizes are throughput-optimal for the 16 GB v5e chip (bs8 / bs4+remat),
 NOT the reference experiment definitions (bs2, experiments.py:142-149) —
 imgs/sec and MFU are the quantities compared, and the derived baseline is
@@ -87,9 +100,10 @@ REF_TFLOP_PER_IMG = {
 }
 
 H = W = 512
+SCAN_LEN = 10  # train steps per scan-chained program execution
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 440))
 MIN_WARMUP = int(os.environ.get("BENCH_MIN_WARMUP", 250))
-MAX_WARMUP = int(os.environ.get("BENCH_MAX_WARMUP", 450))
+MAX_WARMUP = int(os.environ.get("BENCH_MAX_WARMUP", 600))
 ART_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "bench_artifacts")
 _T0 = time.time()
@@ -249,6 +263,23 @@ def _make_batches(step_cfg, batch_size):
     return batch, ubatch
 
 
+def make_scan_fn(step_fn):
+    """SCAN_LEN chained train steps as ONE program: (state, batch, ubatch,
+    rng) -> (state, last_metrics). The state is the scan carry, each
+    iteration folds its index into `rng` — the only timing shape the
+    tunneled-TPU relay reports faithfully (see module docstring). Shared
+    with tools/export_bench_steps.py."""
+
+    def scan_fn(state, batch, ubatch, rng):
+        def body(st, i):
+            st, metrics = step_fn(st, batch, ubatch, jax.random.fold_in(rng, i))
+            return st, metrics["total_loss"]
+        state, losses = jax.lax.scan(body, state, jnp.arange(SCAN_LEN))
+        return state, {"total_loss": losses[-1]}
+
+    return scan_fn
+
+
 def make_yspan_fn(model, step_cfg):
     """Mean per-(8,128)-tile span of clamped sample-grid rows (scale 0,
     frame +1) — the quantity the warp kernel's candidate loop scales with.
@@ -317,14 +348,14 @@ def _build_from_artifacts(name, step_cfg, batch_size, steady):
     """Deserialize the committed StableHLO programs — no model tracing."""
     batch, ubatch = _make_batches(step_cfg, batch_size)
     exp_init = _load_exported(name, "init")
-    exp_step = _load_exported(name, "step")
+    exp_scan = _load_exported(name, "scan")
     yspan = None
     if steady:
         yspan = jax.jit(_load_exported(name, "yspan").call)
     _log(f"{name}: artifacts deserialized; running init")
     state = jax.jit(exp_init.call)(jax.random.PRNGKey(0), batch)
     jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
-    return exp_step.call, state, batch, ubatch, yspan
+    return exp_scan.call, state, batch, ubatch, yspan
 
 
 def _build_live(model_cfg, step_cfg, batch_size, with_ema, steady):
@@ -344,19 +375,68 @@ def _build_live(model_cfg, step_cfg, batch_size, with_ema, steady):
     _log("live build: init program compile")
     state = jax.jit(init_fn)(rng, batch)
     jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
-    step_fn = make_train_step(model, step_cfg, tx)
+    scan_fn = make_scan_fn(make_train_step(model, step_cfg, tx))
     yspan = jax.jit(make_yspan_fn(model, step_cfg)) if steady else None
-    return step_fn, state, batch, ubatch, yspan
+    return scan_fn, state, batch, ubatch, yspan
 
 
-def _time(compiled, state, batch, ubatch, rng, n_steps):
+def _time(compiled, state, batch, ubatch, rng):
+    """One timed remote execution = SCAN_LEN chained steps (see module
+    docstring: python-looped step calls are NOT trusted on the relay).
+
+    The input state is blocked on BEFORE the clock starts: issuing the timed
+    call while a previous execution is still in flight made the relay report
+    the call as done in ~7 ms (observed 2026-08-19 — the cold window right
+    after an un-blocked program-warm call)."""
+    jax.block_until_ready(jax.tree_util.tree_leaves(state))
+    t0 = time.perf_counter()
     state, metrics = compiled(state, batch, ubatch, rng)
     jax.block_until_ready(metrics["total_loss"])
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = compiled(state, batch, ubatch, rng)
-    jax.block_until_ready(metrics["total_loss"])
-    return (time.perf_counter() - t0) / n_steps, state
+    return (time.perf_counter() - t0) / SCAN_LEN, state
+
+
+def _warm_path(name):
+    return os.path.join(ART_DIR, f"{name}.warm.npz")
+
+
+def _load_warm_state(name, state_like):
+    """Load a locally persisted settled TrainState (same leaf structure as
+    `state_like`) written by a previous bench run on this machine. Returns
+    (state, warmup_steps) or (None, 0). The file is machine-local
+    (gitignored): on a fresh clone the bench warms up from scratch."""
+    import numpy as np
+
+    path = _warm_path(name)
+    if not os.path.exists(path):
+        return None, 0
+    try:
+        leaves, treedef = jax.tree_util.tree_flatten(state_like)
+        with np.load(path) as z:
+            steps = int(z["__steps__"])
+            loaded = [z[f"a{i}"] for i in range(len(leaves))]
+        if any(l.shape != tuple(jnp.shape(c)) for l, c in zip(loaded, leaves)):
+            raise ValueError("stale warm state: leaf shape mismatch")
+        loaded = [jnp.asarray(l, jnp.result_type(c))
+                  for l, c in zip(loaded, leaves)]
+        return jax.tree_util.tree_unflatten(treedef, loaded), steps
+    except Exception as e:
+        _log(f"{name}: warm state unusable ({type(e).__name__}: {e})")
+        return None, 0
+
+
+def _save_warm_state(name, state, steps):
+    import numpy as np
+
+    if _left() < 40:
+        return
+    try:
+        leaves = jax.tree_util.tree_leaves(state)
+        arrs = {f"a{i}": np.asarray(l) for i, l in enumerate(leaves)}
+        arrs["__steps__"] = np.asarray(steps)
+        np.savez(_warm_path(name), **arrs)
+        _log(f"{name}: warm state persisted ({steps} steps)")
+    except Exception as e:
+        _log(f"{name}: warm-state save failed ({type(e).__name__}: {e})")
 
 
 def _finalize(name):
@@ -376,7 +456,7 @@ def _finalize(name):
 
 
 def bench_workload(name, model_cfg, step_cfg, batch_size, with_ema=False,
-                   n_steps=10, steady=False, reserve_s=60.0):
+                   steady=False, reserve_s=60.0):
     """Measure one workload; mutates _RESULTS[name] incrementally.
 
     `reserve_s`: stop this workload's steady warmup when less than this many
@@ -398,17 +478,25 @@ def bench_workload(name, model_cfg, step_cfg, batch_size, with_ema=False,
     if built is None:
         _log(f"{name}: live build (init + optimizer)")
         built = _build_live(model_cfg, step_cfg, batch_size, with_ema, steady)
-    step_fn, state, batch, ubatch, yspan = built
-    rng = jax.random.PRNGKey(0)
+    scan_fn, state, batch, ubatch, yspan = built
+    # process-unique rng salt: the relay caches executions ACROSS PROCESSES
+    # keyed on (program, input values) — a bench re-run that replays the
+    # canonical PRNGKey(0) sequence gets last run's results replayed at
+    # ~0.7 ms/step (observed 2026-08-19: sde cold replayed, exp210/212 cold
+    # real on their first-ever execution). Init stays deterministic
+    # (PRNGKey(0)); every timed/warmup execution is salted fresh.
+    rng = jax.random.PRNGKey((os.getpid() << 16) ^ (int(time.time()) & 0x7FFFFFFF))
 
     # AOT: one compile serves cost analysis AND execution
-    _log(f"{name}: lower + compile train step")
-    compiled = jax.jit(step_fn, donate_argnums=(0,)).lower(
+    _log(f"{name}: lower + compile {SCAN_LEN}-step scan program")
+    compiled = jax.jit(scan_fn, donate_argnums=(0,)).lower(
         state, batch, ubatch, rng).compile()
-    _log(f"{name}: compiled; timing cold")
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
+    # XLA cost analysis counts a While (lax.scan) body ONCE, not trip-count
+    # times — verified against the round-2 single-step program's 10.109
+    # TFLOP/step (the scan program reports the same value), so no /SCAN_LEN
     flops = float(ca.get("flops", 0.0))
 
     def stats(dt):
@@ -420,7 +508,12 @@ def bench_workload(name, model_cfg, step_cfg, batch_size, with_ema=False,
             "mfu_pct": round(100.0 * flops / dt / V5E_PEAK, 2),
         }
 
-    dt_cold, state = _time(compiled, state, batch, ubatch, rng, n_steps)
+    # first scan execution warms program load (and advances 10 real steps);
+    # the second is the timed cold window
+    _log(f"{name}: compiled; warming program + timing cold")
+    state, _ = compiled(state, batch, ubatch, jax.random.fold_in(rng, 10**6))
+    dt_cold, state = _time(compiled, state, batch, ubatch,
+                           jax.random.fold_in(rng, 10**6 + 1))
     res = {
         "batch_size": batch_size,
         "tflop_per_step": round(flops / 1e12, 3),
@@ -431,24 +524,38 @@ def bench_workload(name, model_cfg, step_cfg, batch_size, with_ema=False,
     _finalize(name)
     if steady and _left() > reserve_s:
         res["cold"]["grid_yspan_px"] = round(float(yspan(state, batch)), 1)
-        # time-bounded warmup: run in 50-step chunks until the grid has
-        # settled (yspan <= 25 — tools/bench_steady.py ladders show yspan
-        # ~60 still costs ~10% step time) or the step/deadline budget is out
-        _log(f"{name}: cold done; steady warmup")
-        steps_done = 0
-        yv = None
-        while steps_done < MAX_WARMUP and _left() > reserve_s:
-            for _ in range(50):
-                state, _ = compiled(state, batch, ubatch, rng)
-            steps_done += 50
-            if steps_done >= MIN_WARMUP and steps_done % 100 == 0:
-                yv = round(float(yspan(state, batch)), 1)
-                if yv <= 25:
-                    break
+        # warm-state fast path: a locally persisted settled state (written by
+        # a previous bench run on this machine, gitignored) skips the warmup
+        warm, steps_done = _load_warm_state(name, state)
+        if warm is not None:
+            state, yv = warm, round(float(yspan(warm, batch)), 1)
+            _log(f"{name}: loaded warm state ({steps_done} steps, yspan {yv})")
+        else:
+            _log(f"{name}: cold done; steady warmup")
+            steps_done = 2 * SCAN_LEN  # the program-warm + cold windows above
+            yv = None
+        if yv is None or yv > 25:
+            # time-bounded warmup in SCAN_LEN-step chunks until the grid has
+            # settled (yspan <= 25 — tools/bench_steady.py ladders show yspan
+            # ~60 still costs ~10% step time) or the budget is out. A loaded
+            # but not-yet-settled warm state resumes here, so successive
+            # bench runs on one machine settle it incrementally.
+            start = steps_done
+            while steps_done < MAX_WARMUP and _left() > reserve_s:
+                state, _ = compiled(state, batch, ubatch,
+                                    jax.random.fold_in(rng, steps_done))
+                steps_done += SCAN_LEN
+                if steps_done >= MIN_WARMUP and steps_done % 50 == 0:
+                    yv = round(float(yspan(state, batch)), 1)
+                    if yv <= 25:
+                        break
+            if steps_done > start:
+                _save_warm_state(name, state, steps_done)
         if _left() > 0:
-            _log(f"{name}: warmup {steps_done} steps (yspan {yv}); "
+            _log(f"{name}: warmed {steps_done} steps (yspan {yv}); "
                  "timing steady")
-            dt_ss, state = _time(compiled, state, batch, ubatch, rng, n_steps)
+            dt_ss, state = _time(compiled, state, batch, ubatch,
+                                 jax.random.fold_in(rng, 10**6 + 2))
             with _LOCK:
                 res["steady_state"] = stats(dt_ss)
                 res["steady_state"]["warmup_steps"] = steps_done

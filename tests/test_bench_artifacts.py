@@ -39,13 +39,13 @@ def test_artifact_matches_current_code(wl):
         build_model,
     )
 
-    for kind in ("init", "step") + (("yspan",) if steady else ()):
+    for kind in ("init", "scan") + (("yspan",) if steady else ()):
         path = os.path.join(bench.ART_DIR, f"{name}.{kind}.hlo.gz")
         if not os.path.exists(path):
             pytest.skip(f"{name}.{kind} artifact not generated")
 
     exp_init = bench._load_exported(name, "init")
-    exp_step = bench._load_exported(name, "step")
+    exp_step = bench._load_exported(name, "scan")
     assert "tpu" in exp_init.platforms and "tpu" in exp_step.platforms
 
     # current code's state signature (abstract trace only)
@@ -67,5 +67,16 @@ def test_artifact_matches_current_code(wl):
     current_in = _flat_avals(
         (jax.tree_util.tree_leaves(state_spec), batch, ubatch, rng))
     assert _flat_avals(exp_step.in_avals) == current_in, (
-        f"{name}.step artifact is stale — regenerate with "
+        f"{name}.scan artifact is stale — regenerate with "
         "tools/export_bench_steps.py")
+
+    # the scan artifact bakes SCAN_LEN in; bench divides by the CURRENT value
+    import json
+
+    with open(os.path.join(bench.ART_DIR, "manifest.json")) as f:
+        manifest = json.load(f)
+    entry = manifest["workloads"].get(name, {})
+    if "scan_len" in entry:
+        assert entry["scan_len"] == bench.SCAN_LEN, (
+            f"{name}.scan was exported with SCAN_LEN={entry['scan_len']} but "
+            f"bench.SCAN_LEN={bench.SCAN_LEN} — regenerate artifacts")

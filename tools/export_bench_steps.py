@@ -12,7 +12,10 @@ Per workload (definitions imported from bench._step_cfgs so the artifacts
 are traced from exactly the programs the bench times):
   <name>.init.hlo.gz    (rng, batch) -> [flat state]   full random init:
                         params + batch_stats + opt_state [+ EMA], one program
-  <name>.step.hlo.gz    ([flat state], batch, ubatch, rng) -> ([flat], metrics)
+  <name>.scan.hlo.gz    ([flat state], batch, ubatch, rng) -> ([flat], metrics)
+                        — bench.SCAN_LEN lax.scan-chained train steps in ONE
+                        program (the relay-safe timing unit, bench.py
+                        docstring; also the warmup unit)
   <name>.yspan.hlo.gz   ([flat state], batch) -> scalar  grid-roughness probe
                         (steady workloads only)
 
@@ -109,16 +112,16 @@ def export_workload(name, model_cfg, step_cfg, batch_size, with_ema, steady):
     assert [(v.shape, v.dtype) for v in exp_init.out_avals] == \
            [(v.shape, v.dtype) for v in flat_spec], "state spec mismatch"
 
-    step_fn = make_train_step(model, step_cfg, tx)
+    scan_fn = bench.make_scan_fn(make_train_step(model, step_cfg, tx))
 
-    def step_flat(flat_state, batch, ubatch, rng):
+    def scan_flat(flat_state, batch, ubatch, rng):
         state = jax.tree_util.tree_unflatten(treedef, flat_state)
-        new_state, metrics = step_fn(state, batch, ubatch, rng)
+        new_state, metrics = scan_fn(state, batch, ubatch, rng)
         return jax.tree_util.tree_leaves(new_state), metrics
 
-    exp_step = jexport.export(jax.jit(step_flat, donate_argnums=(0,)))(
+    exp_step = jexport.export(jax.jit(scan_flat, donate_argnums=(0,)))(
         flat_spec, batch_spec, ubatch_spec, rng_spec)
-    _dump(name, "step", exp_step)
+    _dump(name, "scan", exp_step)
 
     if steady:
         yspan_fn = bench.make_yspan_fn(model, step_cfg)
@@ -136,6 +139,7 @@ def export_workload(name, model_cfg, step_cfg, batch_size, with_ema, steady):
         "with_ema": with_ema,
         "steady": steady,
         "n_state_leaves": len(flat_spec),
+        "scan_len": bench.SCAN_LEN,
     }
 
 
