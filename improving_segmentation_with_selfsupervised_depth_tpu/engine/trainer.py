@@ -412,14 +412,15 @@ class Trainer:
         # every reference config sets 20 and the reference trainer requires the
         # key (train.py:887) — default to the reference's effective behavior
         n_imgs = self.cfg["training"].get("n_tensorboard_imgs", 20)
-        vbs = self.cfg["training"].get("val_batch_size",
-                                       self.cfg["training"]["batch_size"])
         for batch in self.val_loader:
             n_real = len(next(iter(batch.values())))
             if self.mesh is not None and n_real % self.mesh.devices.size != 0:
-                # pad the ragged last batch to a shardable size; padded rows
-                # carry lbl=ignore so the confusion matrix is unaffected
-                batch = _pad_val_batch(batch, vbs)
+                # pad to the next multiple of the mesh size (NOT to
+                # val_batch_size, which itself may be smaller than the mesh —
+                # e.g. vbs=4 on 8 devices); padded rows carry lbl=ignore so
+                # the confusion matrix is unaffected
+                m = self.mesh.devices.size
+                batch = _pad_val_batch(batch, -(-n_real // m) * m)
             metrics, conf, aux = self.eval_step(self.state, self._put(batch), rng)
             loss_meter.update({k: float(v) for k, v in metrics.items()})
             running.update_matrix(np.asarray(conf))

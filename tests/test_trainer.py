@@ -139,3 +139,29 @@ def test_auto_resume_from_last_model(tmp_path):
     p2 = np.asarray(
         __import__("jax").tree_util.tree_leaves(t2.state.params)[0])
     np.testing.assert_array_equal(p1, p2)
+
+
+def test_pad_val_batch_to_mesh_multiple():
+    """Ragged final val batches are padded to the next multiple of the mesh
+    size, not to val_batch_size (which may be smaller than the mesh — e.g.
+    vbs=4 on 8 devices). Padded labels carry ignore=250."""
+    from improving_segmentation_with_selfsupervised_depth_tpu.engine.trainer import (
+        _pad_val_batch,
+    )
+    batch = {
+        "img": np.zeros((5, 4, 4, 3), np.float32),
+        "lbl": np.ones((5, 4, 4), np.int32),
+        "filename": [f"f{i}" for i in range(5)],
+    }
+    n_real, mesh_size = 5, 8
+    target = -(-n_real // mesh_size) * mesh_size
+    assert target == 8
+    out = _pad_val_batch(batch, target)
+    assert out["img"].shape[0] == 8
+    assert out["lbl"].shape[0] == 8
+    assert len(out["filename"]) == 8
+    assert (out["lbl"][n_real:] == 250).all()
+    assert (out["lbl"][:n_real] == 1).all()
+    # already-shardable batch is returned unchanged
+    same = _pad_val_batch(batch, 5)
+    assert same["img"].shape[0] == 5
