@@ -101,7 +101,10 @@ REF_TFLOP_PER_IMG = {
 
 H = W = 512
 SCAN_LEN = 10  # train steps per scan-chained program execution
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 440))
+# 480 default: the driver's own bound is ~600 s (round-3 forensics — its
+# multichip dryrun's last stderr line lands 600 s after a plausible start);
+# the watchdog fires at DEADLINE_S-12 and always prints the JSON line
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 480))
 MIN_WARMUP = int(os.environ.get("BENCH_MIN_WARMUP", 250))
 MAX_WARMUP = int(os.environ.get("BENCH_MAX_WARMUP", 600))
 ART_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -124,11 +127,29 @@ def _log(msg: str) -> None:
           flush=True)
 
 
+def _write_snapshot() -> None:
+    """Child mode: persist the current results as a complete JSON line so
+    the supervisor can print the best-so-far even if this process wedges
+    or is killed (see _supervise)."""
+    path = os.environ.get("BENCH_SNAPSHOT", "")
+    if not path:
+        return
+    try:
+        line = _emit_line(partial=True, note="snapshot")
+        with open(path + ".tmp", "w") as f:
+            f.write(line)
+        os.replace(path + ".tmp", path)
+    except Exception:
+        pass
+
+
 def _emit_line(partial: bool, note: str | None = None) -> str:
     with _LOCK:
         results = json.loads(json.dumps(_RESULTS))  # snapshot
     head = results.get("sde_supervised", {})
-    head_stats = head.get("steady_state") or head.get("cold", {})
+    head_mode = next((m for m in ("steady_state", "cold")
+                      if "imgs_per_sec" in head.get(m, {})), None)
+    head_stats = head.get(head_mode, {}) if head_mode else {}
     line = {
         "metric": "train_imgs_per_sec",
         "value": head_stats.get("imgs_per_sec", 0.0),
@@ -136,7 +157,7 @@ def _emit_line(partial: bool, note: str | None = None) -> str:
         "vs_baseline": head.get("vs_baseline", 0.0),
         "baseline_imgs_per_sec": head.get("baseline_imgs_per_sec", 0.0),
         "baseline_kind": BASELINE_KIND,
-        "headline_mode": "steady_state" if "steady_state" in head else "cold",
+        "headline_mode": head_mode or "none",
         "warp_smooth_path": _META["warp_smooth_path"],
         "workloads": results,
     }
@@ -177,25 +198,18 @@ def _model_cfg(pad: bool = False):
     return cfg
 
 
-# the multi_step decay only matters for the steady_state warmup: by the end
-# of warmup the lr has annealed and the depth/pose have settled into the
-# smooth-grid regime real training lives in; the schedule costs nothing in
-# the timed step (one multiply inside the compiled program). Decaying too
-# early freezes whatever roughness the oscillating high-lr phase happened to
-# be at (observed: yspan 133 with milestones at 50%/83%), so the first decay
-# waits until the scene is fit (~55%), then a long 0.1x phase settles it.
+# constant lr for the steady_state warmup: decaying mid-warmup FREEZES the
+# grid at whatever roughness the decay point reached (measured: the round-3
+# [247, 405] milestones converged at yspan ~48-49 even after 2000 warmup
+# steps, because lr 1e-4 can no longer smooth the synthetic scene), while a
+# constant 1e-2 settles it to yspan < 25 within ~500 steps
+# (tools/bench_steady.py trajectories). The schedule is baked into the
+# compiled scan program as constants — changing it invalidates the committed
+# artifacts AND the persistent compile cache (a miss costs ~3 min through
+# the remote-TPU tunnel), so regenerate bench_artifacts/ when touching this.
 _TRAINING_CFG = {
     "optimizer": {"name": "sgd", "lr": 1e-2, "momentum": 0.9, "backbone_lr": 1e-3},
-    "lr_schedule": {"name": "multi_step",
-                    # 247/405: EXACTLY the round-3 values (450*0.55/450*0.9).
-                    # The milestones are baked into the compiled step as
-                    # constants, so keeping them bit-identical preserves the
-                    # persistent-cache key of the warmed train-step
-                    # executable — a cache miss costs a ~7-10 min compile
-                    # through the remote-TPU tunnel, which alone blows the
-                    # driver's timeout.
-                    "milestones": [247, 405],
-                    "gamma": 0.1},
+    "lr_schedule": {"name": "multi_step", "milestones": [10**6], "gamma": 0.1},
     "clip_grad_norm": 10.0,
 }
 
@@ -239,10 +253,14 @@ def _step_cfgs():
                       depthmix_online_depth=True,
                       photometric_dtype=jnp.bfloat16)  # amp: true parity
 
+    # run order = value order under a tight budget: the sde headline first,
+    # then exp212 (two modes to record, the weakest vs_baseline), then
+    # exp210 (cold-only, the most robust number) — a slow relay startup
+    # (observed 0.1-196 s, r4e log) clips from the back
     return [
         ("sde_supervised", _model_cfg(), sde, 8, False, True),
-        ("exp210_depthcomp", cfg210, s210, 8, True, False),
         ("exp212_pad_online", _model_cfg(pad=True), s212, 4, True, True),
+        ("exp210_depthcomp", cfg210, s210, 8, True, False),
     ]
 
 
@@ -352,10 +370,15 @@ def _build_from_artifacts(name, step_cfg, batch_size, steady):
     yspan = None
     if steady:
         yspan = jax.jit(_load_exported(name, "yspan").call)
-    _log(f"{name}: artifacts deserialized; running init")
-    state = jax.jit(exp_init.call)(jax.random.PRNGKey(0), batch)
-    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
-    return exp_scan.call, state, batch, ubatch, yspan
+    _log(f"{name}: artifacts deserialized")
+    init_jit = jax.jit(exp_init.call)
+    reinit = lambda: init_jit(jax.random.PRNGKey(0), batch)  # noqa: E731
+    # abstract state spec (NOT a device allocation): the scan program lowers
+    # from avals, so the random-init state only ever materializes when a
+    # window actually needs it — materializing it alongside the uploaded
+    # warm state OOM'd the 16 GB chip on exp212 (r4f/r4h logs)
+    spec = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in exp_init.out_avals]
+    return exp_scan.call, spec, batch, ubatch, yspan, reinit
 
 
 def _build_live(model_cfg, step_cfg, batch_size, with_ema, steady):
@@ -372,27 +395,107 @@ def _build_live(model_cfg, step_cfg, batch_size, with_ema, steady):
         lambda r, b: model.init({"params": r, "dropout": r}, b), rng, batch)
     init_fn, tx = make_init_fn(model, model_cfg, _TRAINING_CFG, with_ema,
                                var_spec["params"])
-    _log("live build: init program compile")
-    state = jax.jit(init_fn)(rng, batch)
-    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+    init_jit = jax.jit(init_fn)
+    reinit = lambda: init_jit(rng, batch)  # noqa: E731
+    spec = jax.eval_shape(init_fn, rng, batch)
     scan_fn = make_scan_fn(make_train_step(model, step_cfg, tx))
     yspan = jax.jit(make_yspan_fn(model, step_cfg)) if steady else None
-    return scan_fn, state, batch, ubatch, yspan
+    return scan_fn, spec, batch, ubatch, yspan, reinit
 
 
-def _time(compiled, state, batch, ubatch, rng):
+class _FetchTimeout(Exception):
+    pass
+
+
+def _bounded(fn, timeout: float, desc: str):
+    """Run `fn()` on a daemon thread and wait at most `timeout` seconds.
+
+    The tunneled-TPU relay can wedge a blocking fetch INDEFINITELY (r4c/r4d
+    logs 2026-08-19: a device_get / probe fetch of an in-flight scan
+    window's output sat >410 s until the watchdog killed the whole bench
+    with zero workloads). A bounded wait converts that hang into a
+    retryable _FetchTimeout; the wedged thread is abandoned (daemon — the
+    bench always exits via os._exit, never joins)."""
+    out: dict = {}
+
+    def run():
+        try:
+            out["v"] = fn()
+        except Exception as e:  # surfaced to the caller, not the thread
+            out["e"] = e
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        raise _FetchTimeout(f"{desc} exceeded {timeout:.0f}s")
+    if "e" in out:
+        raise out["e"]
+    return out["v"]
+
+
+_SYNC = None
+
+
+def _warm_probe():
+    """Compile + execute the sync-probe executable ONCE, before any scan
+    window is dispatched. The r4d hang (2026-08-19) was a compile RPC
+    issued while a scan execution was in flight; pre-compiling here means
+    _sync_fetch never compiles concurrently with a running window."""
+    global _SYNC
+    _SYNC = jax.jit(lambda v: v * 1.0)
+    float(jax.device_get(_SYNC(jnp.float32(1.0))))
+
+
+def _sync_fetch(x, timeout: float) -> float:
+    """Force completion of everything `x` depends on and return its value.
+
+    Routed through a SEPARATE trivial executable because, on the tunneled-TPU
+    relay, the direct primitives lie for an executable's first in-flight
+    execution (both observed 2026-08-19, same program whose real window is
+    ~20 s): `block_until_ready` on the scan's outputs returned in ~3 ms
+    four times back-to-back; `device_get` of the loss scalar then HUNG past
+    a 400 s timeout. Fetching through a second program (exactly how the
+    yspan probes behave, which always returned correct, really-synced
+    values) is the one sync primitive the relay honors — and even it is
+    time-bounded here (see _bounded)."""
+    return float(_bounded(lambda: jax.device_get(_SYNC(x)),
+                          timeout, "probe fetch"))
+
+
+def _time(compiled, state, batch, ubatch, rng, fetch_timeout: float):
     """One timed remote execution = SCAN_LEN chained steps (see module
     docstring: python-looped step calls are NOT trusted on the relay).
 
-    The input state is blocked on BEFORE the clock starts: issuing the timed
-    call while a previous execution is still in flight made the relay report
-    the call as done in ~7 ms (observed 2026-08-19 — the cold window right
-    after an un-blocked program-warm call)."""
-    jax.block_until_ready(jax.tree_util.tree_leaves(state))
+    Shape: run a THROWAWAY window first and force-sync it via _sync_fetch —
+    the relay's sync primitives are broken only around an executable's
+    first in-flight execution — then measure the probe's own overhead on a
+    ready value, then time the real window, also ended by the probe, and
+    subtract the probe overhead. Advances the state by 2*SCAN_LEN steps.
+
+    Returns (dt_per_step | None, state); None means a sync timed out —
+    the returned state is the in-flight result and stays usable (later
+    executions queue behind it)."""
+    state, m = compiled(state, batch, ubatch, jax.random.fold_in(rng, 0))
+    try:
+        loss = _sync_fetch(m["total_loss"], fetch_timeout)
+        if not (loss == loss):  # NaN guard: diverged warmup -> note it
+            _log("throwaway window loss is NaN")
+        t0 = time.perf_counter()
+        _sync_fetch(m["total_loss"], 30.0)
+        probe_s = time.perf_counter() - t0
+    except _FetchTimeout as e:
+        _log(f"throwaway-window sync wedged ({e})")
+        return None, state
     t0 = time.perf_counter()
-    state, metrics = compiled(state, batch, ubatch, rng)
-    jax.block_until_ready(metrics["total_loss"])
-    return (time.perf_counter() - t0) / SCAN_LEN, state
+    state, m = compiled(state, batch, ubatch, jax.random.fold_in(rng, 1))
+    try:
+        _sync_fetch(m["total_loss"], fetch_timeout)
+    except _FetchTimeout as e:
+        _log(f"timed-window sync wedged ({e})")
+        return None, state
+    dt = (time.perf_counter() - t0 - probe_s) / SCAN_LEN
+    return dt, state
 
 
 def _warm_path(name):
@@ -416,9 +519,29 @@ def _load_warm_state(name, state_like):
             loaded = [z[f"a{i}"] for i in range(len(leaves))]
         if any(l.shape != tuple(jnp.shape(c)) for l, c in zip(loaded, leaves)):
             raise ValueError("stale warm state: leaf shape mismatch")
-        loaded = [jnp.asarray(l, jnp.result_type(c))
-                  for l, c in zip(loaded, leaves)]
-        return jax.tree_util.tree_unflatten(treedef, loaded), steps
+        # ship the ~1200 leaves as ONE f32 buffer + one cached unpack
+        # program: per-leaf device_put through the relay cost ~4 min for the
+        # 1 GB sde state (run B 2026-08-19), one bulk transfer ~15 s. f32
+        # holds every state dtype here exactly (f32 params/opt, small int32
+        # counters).
+        flat = np.concatenate(
+            [np.asarray(l, np.float32).ravel() for l in loaded])
+        sizes = [int(np.prod(l.shape, dtype=np.int64)) for l in loaded]
+        offs = np.cumsum([0] + sizes)
+
+        def unpack(buf):
+            return [
+                jax.lax.dynamic_slice(buf, (int(o),), (s,))
+                .reshape(jnp.shape(c)).astype(jnp.result_type(c))
+                for o, s, c in zip(offs, sizes, leaves)
+            ]
+
+        # device transfer + unpack compile both happen while nothing is in
+        # flight, but the relay can still wedge — bound the whole load
+        out = _bounded(lambda: jax.jit(unpack)(jnp.asarray(flat)),
+                       min(280.0, max(60.0, _left() - 60)),
+                       "warm-state upload")
+        return jax.tree_util.tree_unflatten(treedef, out), steps
     except Exception as e:
         _log(f"{name}: warm state unusable ({type(e).__name__}: {e})")
         return None, 0
@@ -431,7 +554,9 @@ def _save_warm_state(name, state, steps):
         return
     try:
         leaves = jax.tree_util.tree_leaves(state)
-        arrs = {f"a{i}": np.asarray(l) for i, l in enumerate(leaves)}
+        arrs = _bounded(
+            lambda: {f"a{i}": np.asarray(l) for i, l in enumerate(leaves)},
+            min(240.0, max(30.0, _left() - 30)), "warm-state download")
         arrs["__steps__"] = np.asarray(steps)
         np.savez(_warm_path(name), **arrs)
         _log(f"{name}: warm state persisted ({steps} steps)")
@@ -449,10 +574,15 @@ def _finalize(name):
     with _LOCK:
         r["baseline_imgs_per_sec"] = round(proxy, 2)
         for mode in ("cold", "steady_state"):
-            if mode in r:
+            if "imgs_per_sec" in r.get(mode, {}):
                 r[mode]["vs_baseline"] = round(r[mode]["imgs_per_sec"] / proxy, 3)
-        # headline per workload: the training regime (steady when measured)
-        r["vs_baseline"] = (r.get("steady_state") or r["cold"])["vs_baseline"]
+        # headline per workload: the training regime (steady when measured;
+        # a failed/missing mode falls through to the other)
+        good = [r[m] for m in ("steady_state", "cold")
+                if "vs_baseline" in r.get(m, {})]
+        if good:
+            r["vs_baseline"] = good[0]["vs_baseline"]
+    _write_snapshot()
 
 
 def bench_workload(name, model_cfg, step_cfg, batch_size, with_ema=False,
@@ -478,7 +608,7 @@ def bench_workload(name, model_cfg, step_cfg, batch_size, with_ema=False,
     if built is None:
         _log(f"{name}: live build (init + optimizer)")
         built = _build_live(model_cfg, step_cfg, batch_size, with_ema, steady)
-    scan_fn, state, batch, ubatch, yspan = built
+    scan_fn, state_spec, batch, ubatch, yspan, reinit = built
     # process-unique rng salt: the relay caches executions ACROSS PROCESSES
     # keyed on (program, input values) — a bench re-run that replays the
     # canonical PRNGKey(0) sequence gets last run's results replayed at
@@ -487,10 +617,11 @@ def bench_workload(name, model_cfg, step_cfg, batch_size, with_ema=False,
     # (PRNGKey(0)); every timed/warmup execution is salted fresh.
     rng = jax.random.PRNGKey((os.getpid() << 16) ^ (int(time.time()) & 0x7FFFFFFF))
 
-    # AOT: one compile serves cost analysis AND execution
+    # AOT: one compile serves cost analysis AND execution; lowering from the
+    # abstract state spec means no state is allocated until a window runs
     _log(f"{name}: lower + compile {SCAN_LEN}-step scan program")
     compiled = jax.jit(scan_fn, donate_argnums=(0,)).lower(
-        state, batch, ubatch, rng).compile()
+        state_spec, batch, ubatch, rng).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
@@ -508,59 +639,137 @@ def bench_workload(name, model_cfg, step_cfg, batch_size, with_ema=False,
             "mfu_pct": round(100.0 * flops / dt / V5E_PEAK, 2),
         }
 
-    # first scan execution warms program load (and advances 10 real steps);
-    # the second is the timed cold window
-    _log(f"{name}: compiled; warming program + timing cold")
-    state, _ = compiled(state, batch, ubatch, jax.random.fold_in(rng, 10**6))
-    dt_cold, state = _time(compiled, state, batch, ubatch,
-                           jax.random.fold_in(rng, 10**6 + 1))
-    res = {
-        "batch_size": batch_size,
-        "tflop_per_step": round(flops / 1e12, 3),
-        "cold": stats(dt_cold),
-    }
+    # a timed window is valid only if it is physically possible: conv-bound
+    # workloads on this chip top out well under 60% MFU, so a faster reading
+    # means a relay sync primitive lied (see _sync_fetch); a wedged sync
+    # (dt None) is the other relay failure mode. Re-time with a fresh rng
+    # fold until plausible; if the budget runs out first, whatever reading
+    # exists is kept but flagged so no consumer mistakes it for a
+    # measurement. Each _time call advances the state 2*SCAN_LEN steps.
+    def _timed_window(fold0, budget_floor, st):
+        dt, tries = None, 0
+        while True:
+            fetch_to = min(150.0, max(30.0, _left() - budget_floor - 5))
+            dt, st = _time(compiled, st, batch, ubatch,
+                           jax.random.fold_in(rng, fold0 + tries), fetch_to)
+            tries += 1
+            ok = dt is not None and stats(dt)["mfu_pct"] <= 60.0
+            if ok:
+                return dt, st, tries, False
+            if tries >= 4 or _left() <= budget_floor:
+                why = ("sync wedged" if dt is None else
+                       f"{stats(dt)['mfu_pct']}% MFU")
+                _log(f"{name}: window still invalid after {tries} tries "
+                     f"({why}) — flagging")
+                return dt, st, tries, True
+            why = ("sync wedged" if dt is None
+                   else f"{stats(dt)['mfu_pct']}% MFU, relay replay")
+            _log(f"{name}: invalid window ({why}) — re-timing")
+
+    def _yspan_of(st):
+        try:
+            return round(float(_bounded(
+                lambda: jax.device_get(yspan(st, batch)),
+                min(300.0, max(30.0, _left() - 5)), "yspan fetch")), 1)
+        except _FetchTimeout as e:
+            _log(f"{name}: {e}")
+            return None
+
+    def _record_window(mode, fold0, budget_floor, st):
+        """Time one window and record it under _RESULTS[name][mode].
+        Returns the advanced state (or the input state on total failure)."""
+        dt, st, _tries, suspect = _timed_window(fold0, budget_floor, st)
+        if dt is None:
+            with _LOCK:
+                res[mode] = {"failed": "relay sync wedged"}
+            return st
+        with _LOCK:
+            res[mode] = stats(dt)
+            if suspect:
+                res[mode]["invalid_relay_replay"] = True
+        _finalize(name)
+        return st
+
+    res = {"batch_size": batch_size, "tflop_per_step": round(flops / 1e12, 3)}
     with _LOCK:
         _RESULTS[name] = res
-    _finalize(name)
-    if steady and _left() > reserve_s:
-        res["cold"]["grid_yspan_px"] = round(float(yspan(state, batch)), 1)
-        # warm-state fast path: a locally persisted settled state (written by
-        # a previous bench run on this machine, gitignored) skips the warmup
-        warm, steps_done = _load_warm_state(name, state)
-        if warm is not None:
-            state, yv = warm, round(float(yspan(warm, batch)), 1)
-            _log(f"{name}: loaded warm state ({steps_done} steps, yspan {yv})")
-        else:
-            _log(f"{name}: cold done; steady warmup")
-            steps_done = 2 * SCAN_LEN  # the program-warm + cold windows above
-            yv = None
-        if yv is None or yv > 25:
-            # time-bounded warmup in SCAN_LEN-step chunks until the grid has
-            # settled (yspan <= 25 — tools/bench_steady.py ladders show yspan
-            # ~60 still costs ~10% step time) or the budget is out. A loaded
-            # but not-yet-settled warm state resumes here, so successive
-            # bench runs on one machine settle it incrementally.
+
+    # warm-state fast path: a locally persisted settled state (written by a
+    # previous bench run on this machine, gitignored) skips the warmup. When
+    # it exists, STEADY IS MEASURED FIRST — it is the headline mode, and the
+    # cold window is the one that historically wedged the relay (r4b-r4d);
+    # ordering steady first means a later wedge costs the cold stat, not the
+    # headline. Only ONE full state is ever live on the chip: warm now, the
+    # random init later (recreated by reinit()) — two at once OOM'd 16 GB
+    # on exp212 (r4f/r4h logs).
+    warm, steps_done = (None, 0)
+    if steady:
+        warm, steps_done = _load_warm_state(name, state_spec)
+    if warm is not None:
+        yv = _yspan_of(warm)
+        _log(f"{name}: warm state loaded ({steps_done} steps, yspan {yv}); "
+             "timing steady first")
+        wstate = warm
+        del warm
+        if yv is not None and yv > 25:
             start = steps_done
             while steps_done < MAX_WARMUP and _left() > reserve_s:
-                state, _ = compiled(state, batch, ubatch,
-                                    jax.random.fold_in(rng, steps_done))
+                wstate, _ = compiled(wstate, batch, ubatch,
+                                     jax.random.fold_in(rng, steps_done))
                 steps_done += SCAN_LEN
-                if steps_done >= MIN_WARMUP and steps_done % 50 == 0:
-                    yv = round(float(yspan(state, batch)), 1)
-                    if yv <= 25:
+                if steps_done % 50 == 0:
+                    yv = _yspan_of(wstate)
+                    if yv is None or yv <= 25:
                         break
             if steps_done > start:
-                _save_warm_state(name, state, steps_done)
+                _save_warm_state(name, wstate, steps_done)
+        wstate = _record_window("steady_state", 2 * 10**6 + 1, reserve_s,
+                                wstate)
+        ss = res.get("steady_state", {})
+        if "failed" not in ss:
+            with _LOCK:
+                ss["warmup_steps"] = steps_done
+                ss["grid_yspan_px"] = _yspan_of(wstate)
+        del wstate  # only one full state on the chip at a time (see above)
+        _log(f"{name}: steady done; timing cold (random init)")
+        state = _record_window("cold", 10**6 + 1, reserve_s, reinit())
+        if steady and "failed" not in res.get("cold", {}):
+            with _LOCK:
+                res["cold"]["grid_yspan_px"] = _yspan_of(state)
+        return
+
+    _log(f"{name}: compiled; timing cold")
+    state = _record_window("cold", 10**6 + 1, reserve_s, reinit())
+    if steady and _left() > reserve_s:
+        if "failed" not in res.get("cold", {}):
+            with _LOCK:
+                res["cold"]["grid_yspan_px"] = _yspan_of(state)
+        _log(f"{name}: cold done; steady warmup")
+        steps_done, yv = 2 * SCAN_LEN, None  # the cold windows above
+        # time-bounded warmup in SCAN_LEN-step chunks until the grid has
+        # settled (yspan <= 25 — tools/bench_steady.py ladders show yspan
+        # ~60 still costs ~10% step time) or the budget is out. The saved
+        # state lets successive runs on one machine settle incrementally.
+        start = steps_done
+        while steps_done < MAX_WARMUP and _left() > reserve_s:
+            state, _ = compiled(state, batch, ubatch,
+                                jax.random.fold_in(rng, steps_done))
+            steps_done += SCAN_LEN
+            if steps_done >= MIN_WARMUP and steps_done % 50 == 0:
+                yv = _yspan_of(state)
+                if yv is None or yv <= 25:
+                    break
+        if steps_done > start:
+            _save_warm_state(name, state, steps_done)
         if _left() > 0:
             _log(f"{name}: warmed {steps_done} steps (yspan {yv}); "
                  "timing steady")
-            dt_ss, state = _time(compiled, state, batch, ubatch,
-                                 jax.random.fold_in(rng, 10**6 + 2))
-            with _LOCK:
-                res["steady_state"] = stats(dt_ss)
-                res["steady_state"]["warmup_steps"] = steps_done
-                res["steady_state"]["grid_yspan_px"] = round(
-                    float(yspan(state, batch)), 1)
+            state = _record_window("steady_state", 2 * 10**6 + 1, 0.0, state)
+            ss = res.get("steady_state", {})
+            if "failed" not in ss:
+                with _LOCK:
+                    ss["warmup_steps"] = steps_done
+                    ss["grid_yspan_px"] = _yspan_of(state)
             _finalize(name)
 
 
@@ -595,20 +804,126 @@ def main():
 
     _log("backend init")
     jax.devices()
-    _log(f"backend up: {jax.default_backend()}; probing smooth warp")
-    _META["warp_smooth_path"] = _probe_smooth_warp()
+    _log(f"backend up: {jax.default_backend()}; warming sync probe")
+    # Startup wedge handling. After a previous client's abrupt death the
+    # remote end holds its session for a grace period and BLOCKS the new
+    # session's first device work (observed 2026-08-19: r4e unwedged
+    # in-process after ~190 s and then ran perfectly; r4g sat 470 s and
+    # never recovered). Strategy: wait LONG here — patience usually wins,
+    # and every abandoned process adds another dead session to wait out
+    # (r4i: three 120s-timeout retries in a row all wedged). Only when the
+    # long wait expires do we exit 3 for a fresh-process retry.
+    startup_to = min(280.0, max(60.0, _left() - 150.0))
+    try:
+        _bounded(_warm_probe, startup_to, "sync-probe warmup")
+        _META["warp_smooth_path"] = _bounded(_probe_smooth_warp, 120.0,
+                                             "smooth-warp probe")
+    except _FetchTimeout as e:
+        _log(f"startup wedged ({e}); exiting for supervisor retry")
+        os._exit(3)
 
-    # leave room for exp210 + exp212 after the headline workload
-    reserves = {"sde_supervised": 150.0, "exp210_depthcomp": 60.0,
-                "exp212_pad_online": 15.0}
+    # leave room for the workloads that follow each one
+    reserves = {"sde_supervised": 190.0, "exp212_pad_online": 60.0,
+                "exp210_depthcomp": 15.0}
+    failed = []
     for name, model_cfg, step_cfg, batch_size, with_ema, steady in _step_cfgs():
-        bench_workload(name, model_cfg, step_cfg, batch_size,
-                       with_ema=with_ema, steady=steady,
-                       reserve_s=reserves[name])
+        try:
+            bench_workload(name, model_cfg, step_cfg, batch_size,
+                           with_ema=with_ema, steady=steady,
+                           reserve_s=reserves[name])
+        except Exception as e:  # one broken workload must not cost the rest
+            _log(f"{name}: FAILED {type(e).__name__}: {e}")
+            failed.append(name)
+            with _LOCK:
+                _RESULTS.setdefault(name, {})["error"] = (
+                    f"{type(e).__name__}: {e}"[:300])
 
     timer.cancel()
-    print(_emit_line(partial=False), flush=True)
+    print(_emit_line(partial=False,
+                     note=(f"workloads errored: {','.join(failed)}"
+                           if failed else None)), flush=True)
+    # prefer a CLEAN exit (proper backend teardown keeps the relay healthy
+    # for the next process — abrupt exits poison its session grace period),
+    # but bound it: an abandoned wedged fetch thread (see _bounded) can
+    # block jax's atexit client shutdown forever
+    t = threading.Timer(15.0, lambda: os._exit(0))
+    t.daemon = True
+    t.start()
+
+
+def _supervise():
+    """Parent mode (no jax touched): run the bench as a child process,
+    retry on a startup wedge, and ALWAYS print exactly one JSON line.
+
+    The relay failure modes this covers (all observed 2026-08-19):
+      exit 3       child detected a wedged startup (see main) — retry
+      crash        an unexpected exception — retry with remaining budget
+      silent wedge child's own watchdog prints a partial line and exits 0
+    The child snapshots results after every completed mode (_write_snapshot),
+    so even a SIGKILLed child leaves the best-so-far line behind."""
+    import subprocess
+
+    t_end = _T0 + DEADLINE_S
+    snap = f"/tmp/bench_snap_{os.getpid()}.json"
+
+    def snap_line():
+        try:
+            with open(snap) as f:
+                return f.read().strip() or None
+        except OSError:
+            return None
+
+    last_line = None
+    for attempt in range(2):
+        left = t_end - time.time()
+        if left < 60:
+            break
+        env = dict(os.environ)
+        env["BENCH_CHILD"] = "1"
+        env["BENCH_SNAPSHOT"] = snap
+        env["BENCH_DEADLINE_S"] = str(max(45.0, left - 8.0))
+        _log(f"supervisor: attempt {attempt + 1}, budget {left:.0f}s")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                stdout=subprocess.PIPE, env=env, text=True,
+                timeout=max(50.0, left - 4.0))
+        except subprocess.TimeoutExpired as e:
+            _log("supervisor: child overran its budget; killed")
+            last_line = (e.stdout or b"").decode() if isinstance(
+                e.stdout, bytes) else (e.stdout or "")
+            break
+        out = (proc.stdout or "").strip().splitlines()
+        if out:
+            last_line = out[-1]
+        if proc.returncode == 3:
+            continue  # startup wedge — a fresh process often succeeds
+        if proc.returncode != 0:
+            _log(f"supervisor: child rc={proc.returncode}; retrying")
+            continue
+        try:
+            has_data = bool(json.loads(last_line).get("value"))
+        except Exception:
+            has_data = False
+        if has_data or t_end - time.time() < 120:
+            break
+        _log("supervisor: clean exit but no data; retrying")
+
+    line = None
+    for cand in (last_line, snap_line()):
+        try:
+            if cand and json.loads(cand).get("value", 0) > 0:
+                line = cand
+                break
+            line = line or cand
+        except Exception:
+            pass
+    print(line or _emit_line(partial=True, note="all attempts wedged"),
+          flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD", ""):
+        main()
+    else:
+        _supervise()
