@@ -37,15 +37,21 @@ def _tree_to_numpy(tree):
 # the previous one first, so writes land in order and at most one extra
 # state snapshot is alive).
 _pending_save: Optional["threading.Thread"] = None
+_pending_error: Optional[BaseException] = None
 
 
 def wait_for_saves() -> None:
     """Block until any in-flight async `save_resume` write has landed.
-    Call before reading the checkpoint back or at trainer shutdown."""
-    global _pending_save
+    Call before reading the checkpoint back or at trainer shutdown.
+    Re-raises any exception the background writer hit — a silently lost
+    best/last checkpoint is data loss on the preemption-recovery path."""
+    global _pending_save, _pending_error
     if _pending_save is not None:
         _pending_save.join()
         _pending_save = None
+    if _pending_error is not None:
+        err, _pending_error = _pending_error, None
+        raise RuntimeError("async checkpoint write failed") from err
 
 
 def save_resume(ckpt_dir: str, state: TrainState, best_iou: float,
@@ -53,28 +59,33 @@ def save_resume(ckpt_dir: str, state: TrainState, best_iou: float,
     """Save full training state (reference save_resume, train.py:360-375).
 
     Writes are atomic (tmp + rename), so a reader never sees a torn file.
-    With `async_write` the device->host gather + serialization + write run
-    on a background thread and training continues immediately — JAX arrays
-    are immutable, so the captured `state` is a consistent snapshot (it
-    keeps the old device buffers alive until the write finishes, i.e. one
-    extra model+optimizer state of HBM while a save is in flight). Use
-    `wait_for_saves()` before reading the file back.
+    With `async_write` the device->host gather happens SYNCHRONOUSLY here
+    (it must: the trainer's jitted step donates the state's device buffers
+    — `donate_argnums=(0,)` in parallel/mesh.py — so the step *after* this
+    call deletes them; a background thread reading the device arrays would
+    die with "Array has been deleted") and only the serialization + file IO
+    run on a background thread. Use `wait_for_saves()` before reading the
+    file back; it re-raises writer errors.
     """
     global _pending_save
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, basename + ".msgpack")
     step_snapshot, best_snapshot = int(state.step), float(best_iou)
 
+    # donation-safe host snapshot: one batched device->host gather, taken
+    # before the caller can run another (donating) train step
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "lr_scale": state.lr_scale,
+    }
+    if state.ema_params is not None:
+        payload["ema_params"] = state.ema_params
+    payload = _tree_to_numpy(jax.device_get(payload))
+
     def _write():
-        payload = {
-            "step": np.asarray(state.step),
-            "params": _tree_to_numpy(state.params),
-            "batch_stats": _tree_to_numpy(state.batch_stats),
-            "opt_state": _tree_to_numpy(state.opt_state),
-            "lr_scale": np.asarray(state.lr_scale),
-        }
-        if state.ema_params is not None:
-            payload["ema_params"] = _tree_to_numpy(state.ema_params)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(serialization.to_bytes(payload))
@@ -84,11 +95,20 @@ def save_resume(ckpt_dir: str, state: TrainState, best_iou: float,
             json.dump({"step": step_snapshot, "best_iou": best_snapshot}, f)
         os.replace(side + ".tmp", side)
 
+    def _write_async():
+        # stash-don't-raise: an exception escaping a daemon thread is only
+        # noise; wait_for_saves() re-raises it on the caller's thread instead
+        global _pending_error
+        try:
+            _write()
+        except BaseException as e:  # surfaced by wait_for_saves
+            _pending_error = e
+
     if async_write:
         import threading
 
         wait_for_saves()  # keep writes ordered, bound in-flight snapshots to 1
-        _pending_save = threading.Thread(target=_write, daemon=True)
+        _pending_save = threading.Thread(target=_write_async, daemon=True)
         _pending_save.start()
     else:
         wait_for_saves()
