@@ -147,8 +147,11 @@ def _emit_line(partial: bool, note: str | None = None) -> str:
     with _LOCK:
         results = json.loads(json.dumps(_RESULTS))  # snapshot
     head = results.get("sde_supervised", {})
+    # a mode flagged invalid_relay_replay is NOT a measurement and must not
+    # become the headline value (ADVICE r4)
     head_mode = next((m for m in ("steady_state", "cold")
-                      if "imgs_per_sec" in head.get(m, {})), None)
+                      if "imgs_per_sec" in head.get(m, {})
+                      and not head[m].get("invalid_relay_replay")), None)
     head_stats = head.get(head_mode, {}) if head_mode else {}
     line = {
         "metric": "train_imgs_per_sec",
@@ -403,6 +406,73 @@ def _build_live(model_cfg, step_cfg, batch_size, with_ema, steady):
     return scan_fn, spec, batch, ubatch, yspan, reinit
 
 
+def _plausible(dt, mfu_pct: float) -> bool:
+    """A single window reading is PLAUSIBLE iff 0 < dt and 0 < MFU <= 60%.
+
+    dt <= 0 happens when a relay-replayed window returns faster than the
+    measured probe overhead (observed class of failure: the relay replays a
+    cached execution at ~0.7 ms/step); its negative MFU must not pass the
+    ceiling check (ADVICE r4). MFU > 60% is physically impossible for these
+    conv-bound programs on this chip, so a faster reading means a relay sync
+    primitive lied (see _sync_fetch)."""
+    return dt is not None and dt > 0.0 and 0.0 < mfu_pct <= 60.0
+
+
+def _windows_agree(a: float, b: float, tol: float = 0.20) -> bool:
+    """Two successive plausible windows must agree within `tol` before a
+    reading is CONFIRMED: a wedge-then-replay can return a plausible but
+    stale time, and two independently salted windows replaying to
+    *consistent* wrong values is not an observed relay failure mode."""
+    return abs(a - b) / min(a, b) <= tol
+
+
+def _measure_window(time_one, mfu_of, left, budget_floor, log, max_tries=6):
+    """Acceptance rule for one timed mode (documented here; unit-tested by
+    tests/test_bench_guard.py with a fake timer):
+
+      1. readings failing _plausible are retried with a fresh rng fold;
+      2. a plausible reading is CONFIRMED only when the next plausible
+         window agrees within 20% (_windows_agree) — the mean of the two
+         is returned;
+      3. when the try or time budget runs out first, the best plausible
+         single reading is returned flagged "unconfirmed" (still honest —
+         one scan-chained window — just not cross-checked), or the last
+         implausible reading flagged "invalid" so no consumer can mistake
+         it for a measurement.
+
+    `time_one(try_idx) -> dt | None` times one scan window (None = sync
+    wedged); `mfu_of(dt) -> pct`; `left() -> seconds remaining`.
+
+    Returns (dt | None, tries, status) with status in
+    {"confirmed", "unconfirmed", "invalid", "wedged"}.
+    """
+    prev = None
+    tries = 0
+    while True:
+        dt = time_one(tries)
+        tries += 1
+        ok = _plausible(dt, mfu_of(dt) if dt else 0.0)
+        if ok and prev is not None and _windows_agree(dt, prev):
+            return (dt + prev) / 2.0, tries, "confirmed"
+        if tries >= max_tries or left() <= budget_floor:
+            if ok:
+                return dt, tries, "unconfirmed"
+            if prev is not None:
+                return prev, tries, "unconfirmed"
+            if dt is None:
+                return None, tries, "wedged"
+            return dt, tries, "invalid"
+        if ok:
+            why = ("first plausible window; confirming" if prev is None else
+                   f"{dt * 1e3:.0f} ms disagrees with {prev * 1e3:.0f} ms")
+            prev = dt
+        else:
+            why = ("sync wedged" if dt is None else
+                   f"dt {dt * 1e3:.1f} ms implausible "
+                   f"({mfu_of(dt):.1f}% MFU, relay replay)")
+        log(f"window {tries}: {why} — re-timing")
+
+
 class _FetchTimeout(Exception):
     pass
 
@@ -516,9 +586,17 @@ def _load_warm_state(name, state_like):
         leaves, treedef = jax.tree_util.tree_flatten(state_like)
         with np.load(path) as z:
             steps = int(z["__steps__"])
+            dtypes = [str(d) for d in z["__dtypes__"]] if "__dtypes__" in z \
+                else None
             loaded = [z[f"a{i}"] for i in range(len(leaves))]
         if any(l.shape != tuple(jnp.shape(c)) for l, c in zip(loaded, leaves)):
             raise ValueError("stale warm state: leaf shape mismatch")
+        # the f32 round-trip below is only exact for the dtypes the state had
+        # at save time — a dtype change (e.g. a future uint32 PRNG key leaf)
+        # must invalidate the file, not silently corrupt it (ADVICE r4)
+        if dtypes is None or any(
+                d != str(jnp.result_type(c)) for d, c in zip(dtypes, leaves)):
+            raise ValueError("stale warm state: leaf dtype mismatch")
         # ship the ~1200 leaves as ONE f32 buffer + one cached unpack
         # program: per-leaf device_put through the relay cost ~4 min for the
         # 1 GB sde state (run B 2026-08-19), one bulk transfer ~15 s. f32
@@ -557,7 +635,18 @@ def _save_warm_state(name, state, steps):
         arrs = _bounded(
             lambda: {f"a{i}": np.asarray(l) for i, l in enumerate(leaves)},
             min(240.0, max(30.0, _left() - 30)), "warm-state download")
+        # the loader ships everything as ONE f32 buffer; refuse to persist
+        # any leaf the f32 round-trip can't represent exactly (ADVICE r4):
+        # floats wider than 32 bit, or integers beyond f32's 2^24 mantissa
+        for i, l in enumerate(leaves):
+            a = arrs[f"a{i}"]
+            if (np.issubdtype(a.dtype, np.floating) and a.dtype.itemsize > 4) \
+               or (np.issubdtype(a.dtype, np.integer) and a.size
+                   and np.abs(a).max() >= 2 ** 24):
+                raise ValueError(f"leaf {i} ({a.dtype}) not f32-exact")
         arrs["__steps__"] = np.asarray(steps)
+        arrs["__dtypes__"] = np.asarray(
+            [str(jnp.result_type(l)) for l in leaves])
         np.savez(_warm_path(name), **arrs)
         _log(f"{name}: warm state persisted ({steps} steps)")
     except Exception as e:
@@ -577,9 +666,10 @@ def _finalize(name):
             if "imgs_per_sec" in r.get(mode, {}):
                 r[mode]["vs_baseline"] = round(r[mode]["imgs_per_sec"] / proxy, 3)
         # headline per workload: the training regime (steady when measured;
-        # a failed/missing mode falls through to the other)
+        # a failed/missing/invalid mode falls through to the other)
         good = [r[m] for m in ("steady_state", "cold")
-                if "vs_baseline" in r.get(m, {})]
+                if "vs_baseline" in r.get(m, {})
+                and not r[m].get("invalid_relay_replay")]
         if good:
             r["vs_baseline"] = good[0]["vs_baseline"]
     _write_snapshot()
@@ -639,33 +729,6 @@ def bench_workload(name, model_cfg, step_cfg, batch_size, with_ema=False,
             "mfu_pct": round(100.0 * flops / dt / V5E_PEAK, 2),
         }
 
-    # a timed window is valid only if it is physically possible: conv-bound
-    # workloads on this chip top out well under 60% MFU, so a faster reading
-    # means a relay sync primitive lied (see _sync_fetch); a wedged sync
-    # (dt None) is the other relay failure mode. Re-time with a fresh rng
-    # fold until plausible; if the budget runs out first, whatever reading
-    # exists is kept but flagged so no consumer mistakes it for a
-    # measurement. Each _time call advances the state 2*SCAN_LEN steps.
-    def _timed_window(fold0, budget_floor, st):
-        dt, tries = None, 0
-        while True:
-            fetch_to = min(150.0, max(30.0, _left() - budget_floor - 5))
-            dt, st = _time(compiled, st, batch, ubatch,
-                           jax.random.fold_in(rng, fold0 + tries), fetch_to)
-            tries += 1
-            ok = dt is not None and stats(dt)["mfu_pct"] <= 60.0
-            if ok:
-                return dt, st, tries, False
-            if tries >= 4 or _left() <= budget_floor:
-                why = ("sync wedged" if dt is None else
-                       f"{stats(dt)['mfu_pct']}% MFU")
-                _log(f"{name}: window still invalid after {tries} tries "
-                     f"({why}) — flagging")
-                return dt, st, tries, True
-            why = ("sync wedged" if dt is None
-                   else f"{stats(dt)['mfu_pct']}% MFU, relay replay")
-            _log(f"{name}: invalid window ({why}) — re-timing")
-
     def _yspan_of(st):
         try:
             return round(float(_bounded(
@@ -676,101 +739,96 @@ def bench_workload(name, model_cfg, step_cfg, batch_size, with_ema=False,
             return None
 
     def _record_window(mode, fold0, budget_floor, st):
-        """Time one window and record it under _RESULTS[name][mode].
-        Returns the advanced state (or the input state on total failure)."""
-        dt, st, _tries, suspect = _timed_window(fold0, budget_floor, st)
-        if dt is None:
-            with _LOCK:
-                res[mode] = {"failed": "relay sync wedged"}
-            return st
+        """Time one mode via the module-level acceptance rule
+        (_measure_window) and record it under _RESULTS[name][mode].
+        Each underlying _time call advances the state 2*SCAN_LEN steps.
+        Returns (advanced state, tries)."""
+        box = {"st": st}
+
+        def time_one(i):
+            fetch_to = min(150.0, max(30.0, _left() - budget_floor - 5))
+            dt, box["st"] = _time(compiled, box["st"], batch, ubatch,
+                                  jax.random.fold_in(rng, fold0 + i), fetch_to)
+            return dt
+
+        dt, tries, status = _measure_window(
+            time_one, lambda d: stats(d)["mfu_pct"],
+            _left, budget_floor, lambda m: _log(f"{name}: {mode} {m}"))
         with _LOCK:
-            res[mode] = stats(dt)
-            if suspect:
-                res[mode]["invalid_relay_replay"] = True
+            if dt is None:
+                res[mode] = {"failed": "relay sync wedged"}
+            else:
+                res[mode] = stats(dt)
+                if status == "confirmed":
+                    res[mode]["confirmed"] = True  # two windows agreed <=20%
+                elif status == "unconfirmed":
+                    res[mode]["unconfirmed"] = True
+                else:  # implausible — never promoted to a headline (_finalize)
+                    res[mode]["invalid_relay_replay"] = True
         _finalize(name)
-        return st
+        return box["st"], tries
 
     res = {"batch_size": batch_size, "tflop_per_step": round(flops / 1e12, 3)}
     with _LOCK:
         _RESULTS[name] = res
 
-    # warm-state fast path: a locally persisted settled state (written by a
-    # previous bench run on this machine, gitignored) skips the warmup. When
-    # it exists, STEADY IS MEASURED FIRST — it is the headline mode, and the
-    # cold window is the one that historically wedged the relay (r4b-r4d);
-    # ordering steady first means a later wedge costs the cold stat, not the
-    # headline. Only ONE full state is ever live on the chip: warm now, the
-    # random init later (recreated by reinit()) — two at once OOM'd 16 GB
-    # on exp212 (r4f/r4h logs).
-    warm, steps_done = (None, 0)
     if steady:
-        warm, steps_done = _load_warm_state(name, state_spec)
-    if warm is not None:
-        yv = _yspan_of(warm)
-        _log(f"{name}: warm state loaded ({steps_done} steps, yspan {yv}); "
-             "timing steady first")
-        wstate = warm
-        del warm
-        if yv is not None and yv > 25:
-            start = steps_done
-            while steps_done < MAX_WARMUP and _left() > reserve_s:
-                wstate, _ = compiled(wstate, batch, ubatch,
-                                     jax.random.fold_in(rng, steps_done))
-                steps_done += SCAN_LEN
-                if steps_done % 50 == 0:
-                    yv = _yspan_of(wstate)
-                    if yv is None or yv <= 25:
-                        break
-            if steps_done > start:
-                _save_warm_state(name, wstate, steps_done)
-        wstate = _record_window("steady_state", 2 * 10**6 + 1, reserve_s,
-                                wstate)
-        ss = res.get("steady_state", {})
-        if "failed" not in ss:
-            with _LOCK:
-                ss["warmup_steps"] = steps_done
-                ss["grid_yspan_px"] = _yspan_of(wstate)
-        del wstate  # only one full state on the chip at a time (see above)
-        _log(f"{name}: steady done; timing cold (random init)")
-        state = _record_window("cold", 10**6 + 1, reserve_s, reinit())
-        if steady and "failed" not in res.get("cold", {}):
-            with _LOCK:
-                res["cold"]["grid_yspan_px"] = _yspan_of(state)
-        return
-
-    _log(f"{name}: compiled; timing cold")
-    state = _record_window("cold", 10**6 + 1, reserve_s, reinit())
-    if steady and _left() > reserve_s:
-        if "failed" not in res.get("cold", {}):
-            with _LOCK:
-                res["cold"]["grid_yspan_px"] = _yspan_of(state)
-        _log(f"{name}: cold done; steady warmup")
-        steps_done, yv = 2 * SCAN_LEN, None  # the cold windows above
-        # time-bounded warmup in SCAN_LEN-step chunks until the grid has
-        # settled (yspan <= 25 — tools/bench_steady.py ladders show yspan
-        # ~60 still costs ~10% step time) or the budget is out. The saved
-        # state lets successive runs on one machine settle incrementally.
+        # STEADY FIRST, always — it is the headline mode (the regime real
+        # training spends >99% of its iterations in), and the cold window is
+        # the one that historically wedged the relay (r4b-r4d). A warm state
+        # persisted by a previous run on this machine (gitignored) skips the
+        # settling warmup; on a fresh clone the state settles from random
+        # init, time-bounded, so the steady number still lands inside the
+        # driver budget (possibly at a rougher grid — grid_yspan_px says
+        # how settled it really was). Only ONE full state is ever live on
+        # the chip: the settling state now, the random init later
+        # (recreated by reinit()) — two at once OOM'd 16 GB on exp212
+        # (r4f/r4h logs).
+        state, steps_done = _load_warm_state(name, state_spec)
+        if state is None:
+            _log(f"{name}: no warm state; settling from random init")
+            state, steps_done = reinit(), 0
+        yv = _yspan_of(state)
+        _log(f"{name}: settling from {steps_done} steps (yspan {yv})")
         start = steps_done
+        # settle in SCAN_LEN-step chunks until the grid is smooth
+        # (yspan <= 25 — tools/bench_steady.py ladders show yspan ~60 still
+        # costs ~10% step time) or the budget is out; successive runs on one
+        # machine settle incrementally via the persisted state. The yspan
+        # gate is only trusted from MIN_WARMUP steps on: exp212's random
+        # init predicts near-FLAT depth (yspan ~0), which roughens over the
+        # first training steps before settling — gating the loop on the
+        # initial yspan skipped its warmup entirely (r5b log 2026-08-19:
+        # "settled 0 steps (yspan 0.0)", then 303.6 after the timed window).
         while steps_done < MAX_WARMUP and _left() > reserve_s:
+            if steps_done >= MIN_WARMUP and yv is not None and yv <= 25:
+                break
             state, _ = compiled(state, batch, ubatch,
                                 jax.random.fold_in(rng, steps_done))
             steps_done += SCAN_LEN
             if steps_done >= MIN_WARMUP and steps_done % 50 == 0:
                 yv = _yspan_of(state)
-                if yv is None or yv <= 25:
-                    break
         if steps_done > start:
             _save_warm_state(name, state, steps_done)
-        if _left() > 0:
-            _log(f"{name}: warmed {steps_done} steps (yspan {yv}); "
-                 "timing steady")
-            state = _record_window("steady_state", 2 * 10**6 + 1, 0.0, state)
-            ss = res.get("steady_state", {})
-            if "failed" not in ss:
-                with _LOCK:
-                    ss["warmup_steps"] = steps_done
-                    ss["grid_yspan_px"] = _yspan_of(state)
-            _finalize(name)
+        _log(f"{name}: settled {steps_done} steps (yspan {yv}); "
+             "timing steady")
+        state, tries = _record_window("steady_state", 2 * 10**6 + 1,
+                                      reserve_s, state)
+        ss = res.get("steady_state", {})
+        if "failed" not in ss:
+            with _LOCK:
+                # timing retries advance the state too (ADVICE r4)
+                ss["warmup_steps"] = steps_done + 2 * SCAN_LEN * tries
+                ss["grid_yspan_px"] = _yspan_of(state)
+        del state  # only one full state on the chip at a time (see above)
+        _log(f"{name}: steady done; timing cold (random init)")
+
+    if not steady:
+        _log(f"{name}: compiled; timing cold")
+    state, _ = _record_window("cold", 10**6 + 1, reserve_s, reinit())
+    if steady and "failed" not in res.get("cold", {}):
+        with _LOCK:
+            res["cold"]["grid_yspan_px"] = _yspan_of(state)
 
 
 def _probe_smooth_warp() -> bool:
@@ -809,18 +867,36 @@ def main():
     # remote end holds its session for a grace period and BLOCKS the new
     # session's first device work (observed 2026-08-19: r4e unwedged
     # in-process after ~190 s and then ran perfectly; r4g sat 470 s and
-    # never recovered). Strategy: wait LONG here — patience usually wins,
-    # and every abandoned process adds another dead session to wait out
-    # (r4i: three 120s-timeout retries in a row all wedged). Only when the
-    # long wait expires do we exit 3 for a fresh-process retry.
-    startup_to = min(280.0, max(60.0, _left() - 150.0))
+    # never recovered; r5a's second attempt started fine after 137 s).
+    # Tension: patience usually wins and every abandoned process adds
+    # another dead session to wait out (r4i: three 120s-timeout retries in a
+    # row all wedged) — but r4's two-attempt 280s-then-60s schedule burned
+    # the whole window on waiting. The supervisor now ladders the wait per
+    # attempt (BENCH_STARTUP_WAIT: ~160 s first — covers the observed 137 s
+    # clear — then a full 280 s grace period, then mid-length tries while
+    # budget remains); standalone child runs keep the old long-wait formula.
+    startup_to = float(os.environ.get("BENCH_STARTUP_WAIT", 0)) \
+        or min(280.0, max(60.0, _left() - 150.0))
     try:
         _bounded(_warm_probe, startup_to, "sync-probe warmup")
-        _META["warp_smooth_path"] = _bounded(_probe_smooth_warp, 120.0,
-                                             "smooth-warp probe")
     except _FetchTimeout as e:
         _log(f"startup wedged ({e}); exiting for supervisor retry")
         os._exit(3)
+    if _left() > 300.0:
+        try:
+            _META["warp_smooth_path"] = _bounded(
+                _probe_smooth_warp, 120.0, "smooth-warp probe")
+        except _FetchTimeout as e:
+            _log(f"smooth-warp probe wedged ({e}); exiting for retry")
+            os._exit(3)
+    else:
+        # under a tight budget skip the 120 s probe: the smooth path has
+        # been validated on this hardware (docs/evidence/
+        # bench_scan_2026-08-19_r5.log, warp_smooth_path: true), so assume
+        # it and keep the artifact route; a Mosaic regression would surface
+        # as a compile error -> live-trace fallback in bench_workload
+        _META["warp_smooth_path"] = "assumed"
+        _log("skipping smooth-warp probe (tight budget); assuming validated")
 
     # leave room for the workloads that follow each one
     reserves = {"sde_supervised": 190.0, "exp212_pad_online": 60.0,
@@ -860,11 +936,18 @@ def _supervise():
       crash        an unexpected exception — retry with remaining budget
       silent wedge child's own watchdog prints a partial line and exits 0
     The child snapshots results after every completed mode (_write_snapshot),
-    so even a SIGKILLed child leaves the best-so-far line behind."""
+    so even a SIGKILLed child leaves the best-so-far line behind.
+
+    Startup-wait ladder (round-4 postmortem: two attempts, 280 s + 60 s,
+    spent the whole window waiting and measured nothing): first try a wait
+    that covers the commonly observed ~140-190 s session-grace clear, then
+    one full 280 s grace period, then keep trying mid-length waits while
+    budget remains — up to 5 attempts instead of 2."""
     import subprocess
 
     t_end = _T0 + DEADLINE_S
     snap = f"/tmp/bench_snap_{os.getpid()}.json"
+    startup_waits = (160.0, 280.0, 200.0, 200.0, 200.0)
 
     def snap_line():
         try:
@@ -874,7 +957,7 @@ def _supervise():
             return None
 
     last_line = None
-    for attempt in range(2):
+    for attempt in range(len(startup_waits)):
         left = t_end - time.time()
         if left < 60:
             break
@@ -882,7 +965,10 @@ def _supervise():
         env["BENCH_CHILD"] = "1"
         env["BENCH_SNAPSHOT"] = snap
         env["BENCH_DEADLINE_S"] = str(max(45.0, left - 8.0))
-        _log(f"supervisor: attempt {attempt + 1}, budget {left:.0f}s")
+        env["BENCH_STARTUP_WAIT"] = str(
+            max(45.0, min(startup_waits[attempt], left - 110.0)))
+        _log(f"supervisor: attempt {attempt + 1}, budget {left:.0f}s, "
+             f"startup wait {float(env['BENCH_STARTUP_WAIT']):.0f}s")
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -902,7 +988,7 @@ def _supervise():
             _log(f"supervisor: child rc={proc.returncode}; retrying")
             continue
         try:
-            has_data = bool(json.loads(last_line).get("value"))
+            has_data = json.loads(last_line).get("value", 0) > 0
         except Exception:
             has_data = False
         if has_data or t_end - time.time() < 120:

@@ -80,18 +80,22 @@ def _blend(corners, fx, fy, dtype):
 #         replicate the warp per device (or fail to partition), so "auto"
 #         falls back to the XLA path when sharding is impossible.
 _WARP_CONFIG = {"mode": "auto", "mesh": None, "axis_name": "data",
-                "interpret": False}
+                "interpret": False, "force_shard_map": False}
 
 
 def configure_warp(mode: str = "auto", mesh=None, axis_name: str = "data",
-                   interpret: bool = False) -> None:
+                   interpret: bool = False,
+                   force_shard_map: bool = False) -> None:
     """Select the grid_sample implementation (see _WARP_CONFIG above).
 
     `interpret=True` runs the Pallas kernel in interpreter mode so the
-    shard_map composition is testable on a CPU mesh."""
+    shard_map composition is testable on a CPU mesh. `force_shard_map=True`
+    wraps the kernel in shard_map even on a 1-device mesh — the multi-chip
+    code path (shard_map -> Mosaic lowering) validated on single-chip
+    hardware (tools/check_warp_shardmap_tpu.py)."""
     assert mode in ("auto", "xla", "pallas"), mode
     _WARP_CONFIG.update(mode=mode, mesh=mesh, axis_name=axis_name,
-                        interpret=interpret)
+                        interpret=interpret, force_shard_map=force_shard_map)
 
 
 def _pallas_dispatch(img, grid):
@@ -109,7 +113,9 @@ def _pallas_dispatch(img, grid):
         assert ok_backend and ok_shape and ok_batch, (img.shape, grid.shape, n_dev)
     elif not (ok_backend and ok_shape and ok_batch):
         return None
-    return "shard_map" if n_dev > 1 else "direct"
+    if n_dev > 1 or (mesh is not None and _WARP_CONFIG["force_shard_map"]):
+        return "shard_map"
+    return "direct"
 
 
 def _pallas_warp3(img, grid):

@@ -76,3 +76,22 @@ def test_auto_mode_requires_divisible_batch(warp_cfg_guard):
     assert resample._pallas_dispatch(img, grid) is None
     img8, grid8 = _inputs(n=8)
     assert resample._pallas_dispatch(img8, grid8) == "shard_map"
+
+
+def test_pallas_warp_force_shardmap_single_device(warp_cfg_guard):
+    """force_shard_map=True wraps the kernel in shard_map even on a 1-device
+    mesh — the composition tools/check_warp_shardmap_tpu.py runs on real
+    hardware to validate the multi-chip code path single-chip."""
+    import numpy as _np
+
+    mesh = jax.sharding.Mesh(_np.asarray(jax.devices()[:1]), ("data",))
+    img, grid = _inputs(n=4, h=16, w=128)
+
+    resample.configure_warp("xla")
+    ref = resample.grid_sample_nograd_image(img, grid)
+
+    resample.configure_warp("pallas", mesh=mesh, interpret=True,
+                            force_shard_map=True)
+    assert resample._pallas_dispatch(img, grid) == "shard_map"
+    out = jax.jit(resample.grid_sample_nograd_image)(img, grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)

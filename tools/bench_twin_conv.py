@@ -15,6 +15,7 @@ defeats it).
 Usage: python tools/bench_twin_conv.py [iters=30]
 """
 
+import os
 import sys
 import time
 
@@ -33,9 +34,24 @@ STAGES = [
 B = 8
 DT = jnp.bfloat16
 
+_SYNC = None  # separate probe executable — the relay's one honest sync
+
+
+def _sync(v) -> float:
+    """Force completion via a SEPARATE trivial executable (bench.py
+    _sync_fetch rules: block_until_ready/device_get lie around an
+    executable's first in-flight execution on the tunneled relay)."""
+    global _SYNC
+    if _SYNC is None:
+        _SYNC = jax.jit(lambda s: s * 1.0)
+    return float(jax.device_get(_SYNC(v)))
+
 
 def timed(fn, x, iters):
-    """Scan-chain iterations through a data dependence; time the whole jit."""
+    """Scan-chain iterations through a data dependence; time whole windows
+    ended by the probe executable, with the probe's own overhead subtracted.
+    Two windows on DIFFERENT input values (the relay replay cache is
+    value-keyed) must agree within 20% or the reading is flagged."""
 
     def body(c, _):
         y = fn(c)
@@ -46,17 +62,33 @@ def timed(fn, x, iters):
     @jax.jit
     def run(x):
         c, _ = jax.lax.scan(body, x, None, length=iters)
-        return c
+        return jnp.mean(c.astype(jnp.float32))
 
-    jax.block_until_ready(run(x))  # compile+warm
+    _sync(run(x))  # compile + warm (first in-flight execution)
+    # probe overhead on a ready value, then two salted timed windows
+    v = run(x + 3.0)
+    _sync(v)
     t0 = time.perf_counter()
-    jax.block_until_ready(run(x))
-    return (time.perf_counter() - t0) / iters
+    _sync(v)
+    probe = time.perf_counter() - t0
+    dts = []
+    for i in (4.0, 5.0):
+        t0 = time.perf_counter()
+        _sync(run(x + i))
+        dts.append(time.perf_counter() - t0 - probe)
+    a, b = (d / iters for d in dts)
+    if abs(a - b) / min(a, b) > 0.20:
+        print(f"    !! windows disagree: {a * 1e3:.3f} vs {b * 1e3:.3f} ms",
+              file=sys.stderr)
+    return (a + b) / 2.0
 
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    rng = jax.random.PRNGKey(0)
+    # process-unique salt: the relay replay cache is value-keyed across
+    # processes — a deterministic key would replay a previous run's results
+    rng = jax.random.PRNGKey((os.getpid() << 16)
+                             ^ (int(time.time()) & 0x7FFFFFFF))
     print(f"{'stage shape':28s} {'2x separate':>12s} {'vmap-twin':>12s} "
           f"{'2x-batch':>12s}  (ms, fwd only)")
     for (h, w, ci, co) in STAGES:
