@@ -20,8 +20,11 @@ Usage: python tools/check_warp_shardmap_tpu.py   (requires the TPU backend;
 appends a PASS/FAIL record suitable for docs/evidence/.)
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
