@@ -102,3 +102,29 @@ def test_wedge_between_good_windows_keeps_prev():
     dt, tries, status = _run([0.200, None, 0.204])
     assert status == "confirmed" and tries == 3
     assert abs(dt - 0.202) < 1e-12
+
+
+def test_warm_state_home_cache_fallback(tmp_path, monkeypatch):
+    # warm .npz files are gitignored; a fresh checkout before the driver's
+    # end-of-round bench wipes the repo copy. The save must mirror to the
+    # home cache and the load must fall back to it.
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(bench, "ART_DIR", str(tmp_path / "art"))
+    monkeypatch.setattr(bench, "WARM_CACHE_DIR", str(tmp_path / "cache"))
+    (tmp_path / "art").mkdir()
+    state = {"w": jnp.arange(4, dtype=jnp.float32).reshape(2, 2),
+             "c": jnp.asarray(7, jnp.int32)}
+
+    bench._save_warm_state("toy", state, steps=123)
+    primary, cache = bench._warm_paths("toy")
+    assert primary.startswith(str(tmp_path / "art"))
+    for p in (primary, cache):
+        assert bench.os.path.exists(p), p
+
+    # wipe the repo-local copy (fresh checkout) -> cache still loads
+    bench.os.remove(primary)
+    loaded, steps = bench._load_warm_state("toy", state)
+    assert steps == 123 and loaded is not None
+    assert jnp.allclose(loaded["w"], state["w"])
+    assert int(loaded["c"]) == 7 and loaded["c"].dtype == jnp.int32
