@@ -95,6 +95,24 @@ class StepConfig:
     depthcomp_foreground_threshold: Any = 0.0
     depthmix_online_depth: bool = False
     backward_first_pseudo_label: bool = False
+    # Fuse two of the step's student forwards into ONE batch-concatenated
+    # forward (2N instead of 2xN), picking the pair by dependency structure:
+    #  - online-depth DepthMix: labeled + unlabeled (the mixed forward needs
+    #    the unlabeled disparities). The whole photometric chain (warp
+    #    included) also runs once at 2N; the loss total is exact because each
+    #    per-scale photometric loss is a batch mean, so m_labeled +
+    #    m_unlabeled == 2 * m_combined for equal halves.
+    #  - offline DepthMix (monodepth off, e.g. exp210): labeled + mixed (the
+    #    mix mask is parameter-free there: offline pseudo-depth + teacher
+    #    argmax). Both CE losses are computed per-half, so the totals are
+    #    exact.
+    # In both modes the only semantic delta is that train-mode BatchNorm sees
+    # joint statistics over the 2N batch instead of two sequential N batches —
+    # the same tradeoff `pose_pair_batching` (models/joint.py) already makes,
+    # and the standard formulation in batch-concatenated semi-supervised
+    # training (FixMatch-style interleaving).
+    # Opt-in: training.fuse_unlabeled_forward.
+    fuse_unlabeled_forward: bool = False
     # EMA teacher
     use_ema: bool = False
     ema_alpha: float = 0.99
@@ -235,22 +253,85 @@ def make_train_step(model, cfg: StepConfig, tx):
                 teacher_softmax = jnp.where(is_lab, onehot, teacher_softmax)
             argmax_u_w = jnp.argmax(teacher_softmax, axis=-1).astype(jnp.int32)
 
+        # one 2N forward for the labeled + unlabeled student passes (see
+        # StepConfig.fuse_unlabeled_forward); requires the online-depth branch
+        # (the mixed forward depends on its disparities, so only the first two
+        # student forwards are independent) and equal half sizes for the
+        # batch-mean exactness argument
+        fused = (cfg.fuse_unlabeled_forward and cfg.unlabeled and cfg.use_ema
+                 and cfg.depthmix_online_depth and cfg.monodepth_lambda > 0)
+        if fused:
+            n_lab = batch[key_of("color_aug", 0, 0)].shape[0]
+            assert n_lab == unlabeled_batch[key_of("color_aug", 0, 0)].shape[0], (
+                "fuse_unlabeled_forward requires equal labeled/unlabeled batch "
+                "sizes (the photometric batch-mean split is only exact then)")
+
+        # offline-DepthMix variant: fuse labeled + mixed (see StepConfig). The
+        # mix mask and strong augmentation are parameter-free here (offline
+        # pseudo-depth + teacher argmax), so the mixed batch is built once
+        # outside the grad closure.
+        fused_mixed = (cfg.fuse_unlabeled_forward and cfg.unlabeled
+                       and cfg.use_ema and not cfg.depthmix_online_depth
+                       and cfg.monodepth_lambda == 0)
+        pre_mix = None
+        if fused_mixed:
+            depths_pre = (unlabeled_batch["pseudo_depth"][..., 0]
+                          if "pseudo_depth" in unlabeled_batch else None)
+            mask_pre = generate_mix_mask(cfg, k_mix, argmax_u_w, depths_pre)
+            imgs_pre, _ = strong_transform(
+                cfg, k_strong, mask_pre,
+                data=unlabeled_batch[key_of("color_aug", 0, 0)])
+            softmax_pre, _ = mix(mask_pre, data=teacher_softmax)
+            pre_mix = (mask_pre, imgs_pre, softmax_pre)
+
         def loss_fn(params):
             metrics = {}
             bs = state.batch_stats
 
-            outputs, bs = _apply(model, params, bs, batch, train=True, rng=k_drop,
-                                 mutable=True, **enc_bn_kw)
-
             mono_loss = jnp.asarray(0.0)
+            mono_loss_u_fused = jnp.asarray(0.0)
             feat_dist_loss = jnp.asarray(0.0)
-            if cfg.monodepth_lambda > 0:
-                m, _ = _monodepth_loss(cfg, k_mono, batch, outputs)
-                mono_loss = cfg.monodepth_lambda * m
-                if cfg.feat_dist_lambda > 0:
-                    d = outputs["encoder_features"].astype(jnp.float32) - outputs[
-                        "imnet_features"].astype(jnp.float32)
-                    feat_dist_loss = cfg.feat_dist_lambda * jnp.sqrt(jnp.sum(d * d))
+            out_1 = None
+            if fused:
+                comb = {}
+                for k, v in batch.items():
+                    u = unlabeled_batch.get(k)
+                    if u is not None and getattr(u, "shape", ())[1:] == v.shape[1:]:
+                        comb[k] = jnp.concatenate([v, u], axis=0)
+                outputs_c, bs = _apply(model, params, bs, comb, train=True,
+                                       rng=k_drop, mutable=True, **enc_bn_kw)
+                # one photometric pass (warp + SSIM/L1 + smoothness) over both
+                # halves: per-scale losses are batch means, so the labeled +
+                # unlabeled contributions sum to exactly 2 * combined mean
+                m_c, _ = _monodepth_loss(cfg, k_mono, comb, outputs_c)
+                mono_loss = cfg.monodepth_lambda * m_c
+                mono_loss_u_fused = cfg.monodepth_lambda * m_c
+                outputs = jax.tree_util.tree_map(lambda x: x[:n_lab], outputs_c)
+                out_1 = jax.tree_util.tree_map(lambda x: x[n_lab:], outputs_c)
+            elif fused_mixed:
+                mixed_batch = dict(unlabeled_batch)
+                mixed_batch[key_of("color_aug", 0, 0)] = pre_mix[1]
+                comb = {}
+                for k, v in batch.items():
+                    u = mixed_batch.get(k)
+                    if u is not None and getattr(u, "shape", ())[1:] == v.shape[1:]:
+                        comb[k] = jnp.concatenate([v, u], axis=0)
+                outputs_c, bs = _apply(model, params, bs, comb, train=True,
+                                       rng=k_drop, mutable=True, use_pose=False,
+                                       **enc_bn_kw)
+                n_mix = batch[key_of("color_aug", 0, 0)].shape[0]
+                outputs = jax.tree_util.tree_map(lambda x: x[:n_mix], outputs_c)
+                out_s_fused = jax.tree_util.tree_map(lambda x: x[n_mix:], outputs_c)
+            else:
+                outputs, bs = _apply(model, params, bs, batch, train=True, rng=k_drop,
+                                     mutable=True, **enc_bn_kw)
+                if cfg.monodepth_lambda > 0:
+                    m, _ = _monodepth_loss(cfg, k_mono, batch, outputs)
+                    mono_loss = cfg.monodepth_lambda * m
+            if cfg.monodepth_lambda > 0 and cfg.feat_dist_lambda > 0:
+                d = outputs["encoder_features"].astype(jnp.float32) - outputs[
+                    "imnet_features"].astype(jnp.float32)
+                feat_dist_loss = cfg.feat_dist_lambda * jnp.sqrt(jnp.sum(d * d))
             mono_total = mono_loss + feat_dist_loss
 
             pseudo_depth_loss = jnp.asarray(0.0)
@@ -273,11 +354,16 @@ def make_train_step(model, cfg: StepConfig, tx):
                 l_1 = jnp.asarray(0.0)
                 mono_loss_u = jnp.asarray(0.0)
                 if cfg.depthmix_online_depth:
-                    out_1, bs = _apply(model, params, bs, unlabeled_batch, train=True,
-                                       rng=k_drop_u, mutable=True, **enc_bn_kw)
+                    if fused:
+                        mono_loss_u = mono_loss_u_fused
+                    else:
+                        out_1, bs = _apply(model, params, bs, unlabeled_batch,
+                                           train=True, rng=k_drop_u, mutable=True,
+                                           **enc_bn_kw)
+                        if cfg.monodepth_lambda > 0:
+                            m_u, _ = _monodepth_loss(cfg, k_mono_u, unlabeled_batch, out_1)
+                            mono_loss_u = cfg.monodepth_lambda * m_u
                     if cfg.monodepth_lambda > 0:
-                        m_u, _ = _monodepth_loss(cfg, k_mono_u, unlabeled_batch, out_1)
-                        mono_loss_u = cfg.monodepth_lambda * m_u
                         d = jax.lax.stop_gradient(out_1["disp_0"])
                         dmin = jnp.min(d, axis=(1, 2, 3), keepdims=True)
                         dmax = jnp.max(d, axis=(1, 2, 3), keepdims=True)
@@ -291,14 +377,20 @@ def make_train_step(model, cfg: StepConfig, tx):
                 else:
                     depths = None
 
-                mix_mask = generate_mix_mask(cfg, k_mix, argmax_u_w, depths)
-                mixed_imgs, _ = strong_transform(cfg, k_strong, mix_mask, data=unlabeled_imgs)
-                mixed_softmax, _ = mix(mix_mask, data=teacher_softmax)
+                if fused_mixed:
+                    mix_mask, mixed_imgs, mixed_softmax = pre_mix
+                    out_s = out_s_fused
+                else:
+                    mix_mask = generate_mix_mask(cfg, k_mix, argmax_u_w, depths)
+                    mixed_imgs, _ = strong_transform(cfg, k_strong, mix_mask,
+                                                     data=unlabeled_imgs)
+                    mixed_softmax, _ = mix(mix_mask, data=teacher_softmax)
 
-                mixed_batch = dict(unlabeled_batch)
-                mixed_batch[key_of("color_aug", 0, 0)] = mixed_imgs
-                out_s, bs = _apply(model, params, bs, mixed_batch, train=True,
-                                   rng=k_drop_m, mutable=True, use_pose=False, **enc_bn_kw)
+                    mixed_batch = dict(unlabeled_batch)
+                    mixed_batch[key_of("color_aug", 0, 0)] = mixed_imgs
+                    out_s, bs = _apply(model, params, bs, mixed_batch, train=True,
+                                       rng=k_drop_m, mutable=True, use_pose=False,
+                                       **enc_bn_kw)
                 l_2, pseudo_label = pseudo_label_loss(cfg, mixed_softmax, out_s["semantics"])
 
                 seg_total = seg_total + l_2 + l_1
@@ -475,6 +567,7 @@ def step_config_from_cfg(cfg: Dict[str, Any]) -> StepConfig:
         ),
         depthmix_online_depth=u.get("depthmix_online_depth", False),
         backward_first_pseudo_label=u.get("backward_first_pseudo_label", False),
+        fuse_unlabeled_forward=t.get("fuse_unlabeled_forward", False),
         use_ema=use_ema,
         ema_names=ema_model_names(t, m),
         # the reference's experiments set 'debug_image' while the trainer reads
